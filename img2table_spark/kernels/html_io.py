@@ -1,0 +1,224 @@
+"""HTML table render (K2) and its inverse parser (the HTML-payload fast path).
+
+Render parity target: ``ExtractedTable.html``
+(reference: src/img2table/tables/objects/extraction.py:144-174) including the
+bs4 ``prettify`` line format of the golden fixture
+(reference: tests/tables/objects/test_data/table.html). The parser inverts
+that grammar — ``<table>/<tr>/<td colspan rowspan>`` with ``<br>`` for
+newlines — so HTML payloads embedded in transcript turns land in the same
+output schema as image/PDF payloads.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from img2table_spark.kernels.objects import Cell, Table
+from img2table_spark.kernels.spans import CellSpan, create_all_rectangles
+
+# Synthetic pixel geometry for payloads with no physical coordinates.
+HTML_COL_W = 100
+HTML_ROW_H = 20
+
+
+# ---------------------------------------------------------------- rendering
+
+def _group_spans(table: Table) -> list[CellSpan]:
+    """Group grid positions by cell value-identity, decompose into rectangles
+    (reference: extraction.py:150-160)."""
+    groups: dict[tuple, list[tuple[int, int]]] = {}
+    values: dict[tuple, str | None] = {}
+    for r, row in enumerate(table.rows):
+        for c, cell in enumerate(row):
+            k = cell.key()
+            groups.setdefault(k, []).append((r, c))
+            values[k] = cell.content
+    spans: list[CellSpan] = []
+    for k, positions in groups.items():
+        spans.extend(create_all_rectangles(positions, values[k]))
+    return [s for span in spans for s in span.html_cell_span()]
+
+
+def table_to_html(table: Table) -> str:
+    """Compact single-line HTML (reference: extraction.py:162-172 before
+    prettify)."""
+    spans = _group_spans(table)
+    rows_html = []
+    for r in range(table.nb_rows):
+        row_spans = sorted((s for s in spans if s.top_row == r), key=lambda s: s.col_left)
+        tds = []
+        for s in row_spans:
+            val = "" if s.value is None else s.value.replace("\n", "<br>")
+            tds.append(f'<td colspan="{s.colspan}" rowspan="{s.rowspan}">{val}</td>')
+        rows_html.append("<tr>" + "".join(tds) + "</tr>")
+    return "<table>" + "".join(rows_html) + "</table>"
+
+
+def prettify_table_html(compact: str) -> str:
+    """bs4 ``prettify``-equivalent for the restricted grammar the renderer
+    emits (one space per depth, every tag and text segment on its own line,
+    void ``<br>`` rendered ``<br/>``) — validated against the reference golden
+    tests/tables/objects/test_data/table.html."""
+    out: list[str] = []
+    depth = 0
+    i = 0
+    n = len(compact)
+    while i < n:
+        if compact[i] == "<":
+            j = compact.index(">", i)
+            tag = compact[i : j + 1]
+            if tag.startswith("</"):
+                depth -= 1
+                out.append(" " * depth + tag)
+            elif tag == "<br>":
+                out.append(" " * depth + "<br/>")
+            else:
+                out.append(" " * depth + tag)
+                depth += 1
+            i = j + 1
+        else:
+            j = compact.index("<", i)
+            text = compact[i:j]
+            if text:
+                out.append(" " * depth + text)
+            i = j
+    return "\n".join(out)
+
+
+def extracted_table_html(table: Table) -> str:
+    """Prettified HTML, byte-equal to the reference's ``ExtractedTable.html``."""
+    return prettify_table_html(table_to_html(table)).strip()
+
+
+# ------------------------------------------------------------------ parsing
+
+_BR = object()  # newline sentinel inside a cell
+
+
+class _TableParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: list[list[list[tuple[str | None, int, int]]]] = []
+        self._depth = 0          # <table> nesting depth
+        self._rows = None        # rows of current depth-1 table
+        self._row = None
+        self._cell_parts = None
+        self._colspan = 1
+        self._rowspan = 1
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._depth += 1
+            if self._depth == 1:
+                self._rows = []
+            return
+        if self._depth != 1:
+            return
+        if tag == "tr":
+            self._row = []
+        elif tag in ("td", "th"):
+            d = dict(attrs)
+
+            def _span(v):
+                try:
+                    return max(1, int(v))
+                except (TypeError, ValueError):
+                    return 1
+
+            self._colspan = _span(d.get("colspan"))
+            self._rowspan = _span(d.get("rowspan"))
+            self._cell_parts = []
+        elif tag == "br" and self._cell_parts is not None:
+            self._cell_parts.append(_BR)
+
+    def handle_endtag(self, tag):
+        if tag == "table":
+            if self._depth == 1 and self._rows is not None:
+                self.tables.append(self._rows)
+                self._rows = None
+            self._depth = max(0, self._depth - 1)
+            return
+        if self._depth != 1:
+            return
+        if tag in ("td", "th") and self._cell_parts is not None:
+            value = _assemble_value(self._cell_parts)
+            if self._row is None:
+                self._row = []
+            self._row.append((value, self._colspan, self._rowspan))
+            self._cell_parts = None
+        elif tag == "tr" and self._row is not None:
+            self._rows.append(self._row)
+            self._row = None
+
+    def handle_data(self, data):
+        if self._depth == 1 and self._cell_parts is not None:
+            self._cell_parts.append(data)
+
+
+def _assemble_value(parts: list) -> str | None:
+    """Collapse whitespace within each line; ``<br>`` separates lines."""
+    lines: list[list[str]] = [[]]
+    for p in parts:
+        if p is _BR:
+            lines.append([])
+        else:
+            lines[-1].append(p)
+    norm = [" ".join("".join(seg).split()) for seg in lines]
+    value = "\n".join(norm).strip()
+    return value or None
+
+
+def parse_html_tables(html: str) -> list[Table]:
+    """Parse every top-level ``<table>`` into a Table grid.
+
+    Span semantics invert the reference renderer (extraction.py:58-78):
+    a td spanning (R rows × C cols) produces ONE Cell object duplicated over
+    all covered grid positions. Geometry is synthetic
+    (col width 100, row height 20) since HTML has no pixel space.
+    """
+    parser = _TableParser()
+    parser.feed(html)
+    parser.close()
+
+    out: list[Table] = []
+    for raw_rows in parser.tables:
+        if not raw_rows:
+            continue
+        occupied: dict[tuple[int, int], Cell] = {}
+        pending: dict[Cell, tuple[int, int, int, int]] = {}  # cell -> (r1, c1, r2, c2)
+        for r, raw_row in enumerate(raw_rows):
+            c = 0
+            for value, colspan, rowspan in raw_row:
+                while (r, c) in occupied:
+                    c += 1
+                cell = Cell(0, 0, 0, 0, content=value)
+                r2 = r + rowspan - 1
+                c2 = c + colspan - 1
+                pending[cell] = (r, c, r2, c2)
+                for rr in range(r, r2 + 1):
+                    for cc in range(c, c2 + 1):
+                        occupied[(rr, cc)] = cell
+                c = c2 + 1
+        if not occupied:
+            continue
+        n_rows = max(rc[0] for rc in occupied) + 1
+        n_cols = max(rc[1] for rc in occupied) + 1
+        # Assign synthetic geometry now that span extents are known.
+        for cell, (r1, c1, r2, c2) in pending.items():
+            cell.x1 = c1 * HTML_COL_W
+            cell.y1 = r1 * HTML_ROW_H
+            cell.x2 = (c2 + 1) * HTML_COL_W
+            cell.y2 = (r2 + 1) * HTML_ROW_H
+        rows: list[list[Cell]] = []
+        for r in range(n_rows):
+            row: list[Cell] = []
+            for c in range(n_cols):
+                cell = occupied.get((r, c))
+                if cell is None:
+                    cell = Cell(
+                        c * HTML_COL_W, r * HTML_ROW_H, (c + 1) * HTML_COL_W, (r + 1) * HTML_ROW_H, None
+                    )
+                row.append(cell)
+            rows.append(row)
+        out.append(Table(rows=rows))
+    return out
