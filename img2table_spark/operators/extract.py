@@ -1,0 +1,145 @@
+"""The extraction operator: transcript rows → extracted-table rows.
+
+Spark-first design (SURVEY.md §3.4): the whole reference pipeline is the body
+of ONE Arrow-batched ``mapInPandas`` UDF. Payloads are turn-local, so no
+geometry ever crosses the Spark boundary; the only shuffle in the job is the
+optional salted repartition that defuses long-conversation skew.
+
+Payload dispatch by the ``tool`` column (FIXTURES.md §1):
+  - text/html        → HTML-table grammar parser (kernels.html_io)
+  - image/*          → decode + bordered/borderless CV pipeline
+                       (kernels.image — pure NumPy; PNG via stdlib zlib)
+  - application/pdf  → native-text path (kernels.pdf) when available
+  - text/plain, null → no tables (negative payload)
+
+Malformed payloads never fail the job: the UDF emits zero rows and the
+per-partition manifest records the error count (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from img2table_spark.kernels.html_io import parse_html_tables, table_to_html
+from img2table_spark.kernels.objects import Table
+from img2table_spark.kernels.text import is_relevant_table, table_to_record
+from img2table_spark.schema import EXTRACTED_SCHEMA
+
+_HTML_TOOLS = {"text/html", "html"}
+_IMAGE_PREFIX = "image/"
+_PDF_TOOLS = {"application/pdf", "pdf"}
+
+
+class PayloadError(Exception):
+    """Raised by decoders on malformed payloads; mapped to 0 output rows."""
+
+
+def extract_payload(text: str | None, tool: str | None) -> list[Table]:
+    """Dispatch one turn's payload to the matching kernel pipeline."""
+    if text is None:
+        return []
+    tool = (tool or "").lower()
+    if tool in _HTML_TOOLS:
+        return parse_html_tables(text)
+    if tool.startswith(_IMAGE_PREFIX):
+        from img2table_spark.kernels.image_doc import extract_image_payload
+
+        return extract_image_payload(text)
+    if tool in _PDF_TOOLS:
+        from img2table_spark.kernels.pdf_doc import extract_pdf_payload
+
+        return extract_pdf_payload(text)
+    # text/plain or unknown: not a table payload
+    return []
+
+
+def _make_batch_extract(emit_errors: bool = False):
+    def _batch_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = EXTRACTED_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows: list[dict] = []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                try:
+                    tables = [t for t in extract_payload(text, tool) if is_relevant_table(t)]
+                except Exception as exc:
+                    # error-tolerant UDF: malformed payload → zero output rows;
+                    # optionally an error-marker row (table_idx = -1) that the
+                    # pipeline counts into the partition manifest then drops.
+                    if emit_errors:
+                        rows.append(
+                            {
+                                "conv_id": conv_id,
+                                "turn_idx": int(turn_idx),
+                                "table_idx": -1,
+                                "x1": None, "y1": None, "x2": None, "y2": None,
+                                "title": repr(exc)[:200],
+                                "cells": [],
+                                "html": None,
+                                "n_rows": 0,
+                                "n_cols": 0,
+                            }
+                        )
+                    continue
+                for i, t in enumerate(tables):
+                    rec = table_to_record(t)
+                    rec["conv_id"] = conv_id
+                    rec["turn_idx"] = int(turn_idx)
+                    rec["table_idx"] = i
+                    rec["html"] = table_to_html(t)
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return _batch_extract
+
+
+def with_salt(df: DataFrame, turn_bucket: int = 8) -> "F.Column":
+    """Skew-defusing salt: hash(conv_id, turn_idx // turn_bucket) so a single
+    heavy conversation spreads over many partitions (north_rule)."""
+    return F.xxhash64(F.col("conv_id"), F.floor(F.col("turn_idx") / F.lit(turn_bucket)))
+
+
+def extract_tables(
+    df: DataFrame,
+    salt: bool = True,
+    num_partitions: int | None = None,
+    turn_bucket: int = 8,
+    emit_errors: bool = False,
+) -> DataFrame:
+    """Transcript DataFrame → one row per extracted table (EXTRACTED_SCHEMA).
+
+    Column pruning is explicit: only (conv_id, turn_idx, text, tool) reach the
+    scan, so the parquet reader never materializes unused columns.
+    """
+    slim = df.select("conv_id", "turn_idx", "text", "tool")
+    if salt:
+        if num_partitions:
+            slim = slim.repartition(num_partitions, with_salt(slim, turn_bucket))
+        else:
+            slim = slim.repartition(with_salt(slim, turn_bucket))
+    return slim.mapInPandas(_make_batch_extract(emit_errors), EXTRACTED_SCHEMA)
+
+
+def extract_cells_flat(df: DataFrame, **kwargs) -> DataFrame:
+    """Flat per-cell variant: one row per (turn, table, row, col) with
+    primitive columns only — the shape used by oracle-checked queries."""
+    ext = extract_tables(df, **kwargs)
+    return ext.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.explode("cells").alias("cell"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "table_idx",
+        F.col("cell.row").cast("long").alias("row_idx"),
+        F.col("cell.col").cast("long").alias("col_idx"),
+        F.col("cell.value").alias("value"),
+    )
