@@ -1,0 +1,604 @@
+"""Driver-facing query suite with DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator) as a *Spark-first* DataFrame plan, and has
+an ANSI-SQL oracle producing identical rows on the same parquet tables.
+
+Design rules for oracle parity:
+  - every computed column is integer/string typed (no float hashing except
+    the ANN query, whose output is int ids);
+  - ratios use integer arithmetic (e.g. containment ``2*int_area > w_area``);
+  - hashes use md5 (identical hex in Spark and DuckDB);
+  - every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from img2table_spark.operators.extract import extract_cells_flat
+from img2table_spark.sources.transcripts import transcripts_from_documents
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: HTML payload extraction end-to-end (S-scan → salt →
+# Arrow UDF parse → explode). Oracle recomputes every cell value in SQL.
+# --------------------------------------------------------------------------
+
+def q01_html_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = transcripts_from_documents(spark, sf_dir)
+    flat = extract_cells_flat(tr, salt=True)
+    return flat.select(
+        "conv_id", "turn_idx", "table_idx", "row_idx", "col_idx", "value"
+    )
+
+
+Q01_SQL = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         2 + doc_id % 3 AS nr, 2 + doc_id % 2 AS nc,
+         (doc_id % 5 = 0) AS merged
+  FROM documents
+  WHERE doc_id % 11 <> 3
+),
+g AS (
+  SELECT d.doc_id, d.merged, d.toks, r.r, c.c
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, d.nr - 1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, d.nc - 1)) AS c) c
+),
+v AS (
+  SELECT doc_id, r, c,
+         CASE WHEN merged AND r = 0 AND c <= 1 THEN 0 ELSE c END AS ce
+  FROM g
+)
+SELECT CASE WHEN v.doc_id % 17 = 0 THEN 'c_heavy'
+            ELSE 'c' || (v.doc_id % 500) END            AS conv_id,
+       v.doc_id                                         AS turn_idx,
+       CAST(0 AS BIGINT)                                AS table_idx,
+       v.r                                              AS row_idx,
+       v.c                                              AS col_idx,
+       'd' || v.doc_id || '_r' || v.r || '_c' || v.ce || '_' ||
+         d.toks[CAST((v.r * 7 + v.ce * 3) % len(d.toks) AS INT) + 1] AS value
+FROM v JOIN d ON v.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — T1 word filter analog: predicate + projection with pushdown
+# (reference: ocr/data.py:95-99)
+# --------------------------------------------------------------------------
+
+def q02_word_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") >= 50))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_c
+FROM events WHERE event_type = 'click' AND value >= 50
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — T2 spatial containment join: words×cells interval theta join with
+# >50% word-area containment (reference: ocr/data.py:108-130). The cells
+# side is small → broadcast; containment in integer arithmetic.
+# --------------------------------------------------------------------------
+
+def q03_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 1000).alias("wx1"),
+        (F.col("event_id") % 1000 + 1 + F.col("user_id") % 40).alias("wx2"),
+        (F.col("user_id") % 100).alias("wy1"),
+        (F.col("user_id") % 100 + 10).alias("wy2"),
+    )
+    cells = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            ((F.col("p_partkey") % 10) * 100).alias("cx1"),
+            ((F.col("p_partkey") % 10) * 100 + 100).alias("cx2"),
+            ((F.col("p_partkey") / 10).cast("long") * 10).alias("cy1"),
+            ((F.col("p_partkey") / 10).cast("long") * 10 + 10).alias("cy2"),
+        )
+    )
+    j = ev.join(F.broadcast(cells))
+    xl = F.greatest("wx1", "cx1")
+    xr = F.least("wx2", "cx2")
+    yt = F.greatest("wy1", "cy1")
+    yb = F.least("wy2", "cy2")
+    int_area = (xr - xl) * (yb - yt)
+    w_area = (F.col("wx2") - F.col("wx1")) * (F.col("wy2") - F.col("wy1"))
+    contained = (xr > xl) & (yb > yt) & (2 * int_area > w_area)
+    return (
+        j.filter(contained)
+        .groupBy("p_partkey")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+    )
+
+
+Q03_SQL = """
+WITH w AS (
+  SELECT event_id, event_id % 1000 AS wx1,
+         event_id % 1000 + 1 + user_id % 40 AS wx2,
+         user_id % 100 AS wy1, user_id % 100 + 10 AS wy2
+  FROM events
+),
+c AS (
+  SELECT p_partkey, (p_partkey % 10) * 100 AS cx1, (p_partkey % 10) * 100 + 100 AS cx2,
+         (p_partkey // 10) * 10 AS cy1, (p_partkey // 10) * 10 + 10 AS cy2
+  FROM part WHERE p_partkey < 100
+)
+SELECT p_partkey, COUNT(*) AS n_words, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM w, c
+WHERE least(wx2, cx2) > greatest(wx1, cx1)
+  AND least(wy2, cy2) > greatest(wy1, cy1)
+  AND 2 * (least(wx2, cx2) - greatest(wx1, cx1)) * (least(wy2, cy2) - greatest(wy1, cy1))
+      > (wx2 - wx1) * (wy2 - wy1)
+GROUP BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — T3/T4 ordered line assembly: ordered string aggregation per group
+# (reference: ocr/data.py:133-145 — ordering is part of the contract)
+# --------------------------------------------------------------------------
+
+def q04_line_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").alias("n"),
+        F.concat("l_returnflag", "l_linestatus").alias("v"),
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(item)).alias("xs"))
+        .select(
+            "l_orderkey",
+            F.array_join(F.transform("xs", lambda x: x["v"]), " ").alias("line_text"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT l_orderkey,
+       string_agg(l_returnflag || l_linestatus, ' '
+                  ORDER BY l_linenumber, l_returnflag || l_linestatus) AS line_text
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — B9 window-prune analog: distinct-count over a window then prune
+# (reference: bordered_tables/tables/table_creation.py:63-64)
+# --------------------------------------------------------------------------
+
+def q05_window_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("n_types", F.size(F.collect_set("event_type").over(w)).cast("long"))
+        .filter(F.col("n_types") >= 4)
+        .select("user_id", "n_types")
+        .distinct()
+    )
+
+
+Q05_SQL = """
+SELECT DISTINCT user_id, n_types FROM (
+  SELECT user_id, COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types
+  FROM events
+) WHERE n_types >= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — P4 mode-of-odd-bins analog: group → count → top-1 per key with
+# deterministic tie-break (reference: tables/metrics.py:388-392)
+# --------------------------------------------------------------------------
+
+def q06_mode_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_returnflag",
+        (2 * F.floor(F.col("l_quantity") / 2) + 1).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("l_returnflag", "bin").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("bin"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("bin").alias("mode_bin"), "cnt")
+    )
+
+
+Q06_SQL = """
+WITH b AS (
+  SELECT l_returnflag, CAST(2 * floor(l_quantity / 2) + 1 AS BIGINT) AS bin
+  FROM lineitem
+),
+c AS (SELECT l_returnflag, bin, COUNT(*) AS cnt FROM b GROUP BY l_returnflag, bin)
+SELECT l_returnflag, bin AS mode_bin, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, bin ASC) AS rk
+  FROM c
+) WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — exact dedup: hash-groupBy, keep min id (training-data op)
+# --------------------------------------------------------------------------
+
+def q07_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+Q07_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — MinHash + LSH near-dup candidates, verified by exact 3-shingle
+# Jaccard ≥ 0.5 (integer test 3*|∩| ≥ |A|+|B|). Shuffles only on band
+# signature and shingle — the classic scale-out LSH shape.
+# --------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_ROWS = 2
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
+        ).alias("s"),
+    ).distinct()
+
+
+def q08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    mh = (
+        sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("k"))
+        .select("doc_id", "k", F.md5(F.concat_ws("|", "k", "s")).alias("h"))
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("h"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("k") / _BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "h"))), lambda x: x["h"]
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(3 * F.col("inter") >= F.col("na.n") + F.col("nb.n"))
+        .select("doc_a", "doc_b", "inter")
+    )
+
+
+Q08_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+mh AS (
+  SELECT doc_id, k, MIN(md5(k || '|' || s)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS k) seeds
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(h, ',' ORDER BY k) AS sig
+  FROM mh GROUP BY doc_id, k // {_BAND_ROWS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter
+FROM inter i JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE 3 * i.inter >= na.n + nb.n
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — SimHash (16-bit) document fingerprint (training-data op)
+# --------------------------------------------------------------------------
+
+def q09_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = tk.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("hv")
+    )
+    bits = (
+        h.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.expr("IF((shiftright(hv, b) & 1) = 1, 1, -1)")
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.expr("IF(s > 0, shiftleft(1L, b), 0L)")).cast("long").alias("simhash")
+    )
+
+
+Q09_SQL = """
+WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 4))::BIGINT AS hv FROM tk),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS b) bs
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — text analysis: token counts, stopword-based language guess, quality
+# metrics (all integer arithmetic; training-data op)
+# --------------------------------------------------------------------------
+
+_STOP_EN = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def q10_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stop = ",".join(f"'{s}'" for s in _STOP_EN)
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    return t.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> x IN ({stop})))").cast("long").alias("n_stop"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").alias("n_chars_tok"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        F.when(F.col("n_stop") * 10 >= F.col("n_tokens"), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_guess"),
+        ((100 * F.col("n_distinct")) / F.col("n_tokens")).cast("long").alias("ttr_pct"),
+        ((100 * F.col("n_chars_tok")) / F.col("n_tokens")).cast("long").alias("avg_len_c"),
+    )
+
+
+Q10_SQL = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(list_filter(t, x -> list_contains([{", ".join(repr(s) for s in _STOP_EN)}], x))) AS n_stop,
+         len(list_distinct(t)) AS n_distinct,
+         list_sum(list_transform(t, x -> length(x))) AS n_chars_tok
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_stop AS BIGINT) AS n_stop,
+       CASE WHEN n_stop * 10 >= n_tokens THEN 'en' ELSE 'unknown' END AS lang_guess,
+       CAST((100 * n_distinct) // n_tokens AS BIGINT) AS ttr_pct,
+       CAST((100 * n_chars_tok) // n_tokens AS BIGINT) AS avg_len_c
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — winnowing fingerprints: rolling min-hash over shingle windows
+# (document fingerprinting; window function over positions)
+# --------------------------------------------------------------------------
+
+_WINNOW_W = 4
+
+
+def q11_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
+        ).alias("i", "s"),
+    ).select("doc_id", "i", F.md5("s").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    fp = sh.select("doc_id", F.min("h").over(w).alias("fp"))
+    return fp.groupBy("doc_id").agg(F.count_distinct("fp").alias("n_fp"))
+
+
+Q11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, i, md5(t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+fp AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM sh
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fp FROM fp GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — ANN: brute-force cosine top-3 neighbors for a query subset.
+# Broadcast the tiny query side; JVM-side zip_with dot products.
+# --------------------------------------------------------------------------
+
+_TOPK = 3
+
+
+def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
+    )
+    norm = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    emb = emb.withColumn("nrm", norm)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    j = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = j.select(
+        "query_id", "vec_id", (dot / (F.col("nrm") * F.col("qn"))).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+Q12_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.v, q.qv) AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — merge-contours analog: 1-D interval island counting via cumulative
+# window max (reference: common.py:92-130 axis sweep merge)
+# --------------------------------------------------------------------------
+
+def q13_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_partkey").alias("s"),
+        (F.col("l_partkey") + 10 * F.col("l_linenumber")).alias("e"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = li.withColumn("prev_max_e", F.max("e").over(w)).withColumn(
+        "new_island",
+        (F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))).cast("long"),
+    )
+    return flagged.groupBy("l_suppkey").agg(F.sum("new_island").alias("n_islands"))
+
+
+Q13_SQL = """
+WITH iv AS (
+  SELECT l_suppkey, l_partkey AS s, l_partkey + 10 * l_linenumber AS e FROM lineitem
+),
+f AS (
+  SELECT l_suppkey, s,
+         MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+)
+SELECT l_suppkey,
+       CAST(SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+FROM f GROUP BY l_suppkey
+"""
+
+
+QUERIES = {
+    "q01_html_extract_cells": q01_html_extract_cells,
+    "q02_word_filter": q02_word_filter,
+    "q03_spatial_join": q03_spatial_join,
+    "q04_line_assembly": q04_line_assembly,
+    "q05_window_prune": q05_window_prune,
+    "q06_mode_binned": q06_mode_binned,
+    "q07_dedup_exact": q07_dedup_exact,
+    "q08_minhash_lsh": q08_minhash_lsh,
+    "q09_simhash": q09_simhash,
+    "q10_text_quality": q10_text_quality,
+    "q11_winnow_fingerprint": q11_winnow_fingerprint,
+    "q12_cosine_topk": q12_cosine_topk,
+    "q13_interval_islands": q13_interval_islands,
+}
+
+ORACLES = {
+    "q01_html_extract_cells": Q01_SQL,
+    "q02_word_filter": Q02_SQL,
+    "q03_spatial_join": Q03_SQL,
+    "q04_line_assembly": Q04_SQL,
+    "q05_window_prune": Q05_SQL,
+    "q06_mode_binned": Q06_SQL,
+    "q07_dedup_exact": Q07_SQL,
+    "q08_minhash_lsh": Q08_SQL,
+    "q09_simhash": Q09_SQL,
+    "q10_text_quality": Q10_SQL,
+    "q11_winnow_fingerprint": Q11_SQL,
+    "q12_cosine_topk": Q12_SQL,
+    "q13_interval_islands": Q13_SQL,
+}
