@@ -1,0 +1,126 @@
+"""Benchmark runner (driver contract: ONE JSON line on stdout).
+
+- Runs every queries() entry at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; per-query wall seconds
+  go in "queries".
+- Headline metric: extraction throughput (turns/sec) over a transcript table
+  synthesized from documents.parquet, measured at TWO parallelism levels
+  (local[N/4] and local[N]) on identical input — the sandbox evidence for
+  the north_rule's N → 4N scaling-efficiency ≥ 0.8 criterion.
+
+Results are also appended (human-readable) to BENCH/BASELINE.md by
+scripts/update_baseline.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPEAT = int(os.environ.get("BENCH_REPEAT", "150"))  # transcript volume factor
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_extraction_throughput(cores: int, sf_dir: str) -> dict:
+    """Measure in a CPU-pinned subprocess: local[N] must really get N CPUs,
+    otherwise idle cores leak in via JVM/Arrow threads and fake the low-
+    parallelism number (see scripts/bench_extract.py)."""
+    import shutil
+    import subprocess
+
+    cmd = [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "scripts", "bench_extract.py"),
+           str(cores), sf_dir, str(REPEAT)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    if out.returncode != 0:
+        raise RuntimeError(f"bench_extract failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_query_suite(cores: int, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from img2table_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-queries", cores=cores)
+    out: dict[str, float] = {}
+    try:
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return out
+
+
+def hw_parallel_ceiling(low: int, high: int) -> float:
+    """Measure this box's intrinsic per-core slowdown going from `low` to
+    `high` concurrent pure-Python processes (no Spark). On shared/virtualized
+    hardware, frequency scaling + memory contention cap perfect scaling well
+    below 1.0; a real cluster adds machines instead and does not pay this.
+    Returns max achievable low→high scaling efficiency on this hardware."""
+    import shutil
+    import subprocess
+
+    spin = "import time;t=time.time();x=0\nfor i in range(12_000_000): x+=i*i\nprint(time.time()-t)"
+
+    def run(n: int) -> float:
+        procs = []
+        for i in range(n):
+            cmd = [sys.executable, "-c", spin]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", str(i)] + cmd
+            procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+        times = [float(p.communicate()[0].strip()) for p in procs]
+        return sum(times) / len(times)
+
+    t_low, t_high = run(low), run(high)
+    return round(t_low / t_high, 3)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    queries = run_query_suite(cpus, sf_dir)
+
+    low = max(1, cpus // 4)
+    r_low = run_extraction_throughput(low, sf_dir)
+    r_high = run_extraction_throughput(cpus, sf_dir)
+    efficiency = round(
+        (r_high["turns_per_sec"] / r_low["turns_per_sec"]) / (cpus / low), 3
+    )
+    ceiling = hw_parallel_ceiling(low, cpus)
+
+    result = {
+        "metric": "turns_extracted_per_sec",
+        "value": r_high["turns_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "scaling": {
+            "low": r_low,
+            "high": r_high,
+            "efficiency_low_to_high": efficiency,
+            "hw_parallel_ceiling": ceiling,
+            "efficiency_vs_hw_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,10 +119,12 @@ def extract_tables(
     """
     slim = df.select("conv_id", "turn_idx", "text", "tool")
     if salt:
-        if num_partitions:
-            slim = slim.repartition(num_partitions, with_salt(slim, turn_bucket))
-        else:
-            slim = slim.repartition(with_salt(slim, turn_bucket))
+        if num_partitions is None:
+            # Python-CPU-bound stage: size parallelism by cores, NOT by bytes.
+            # A bare repartition(col) would let AQE coalesce the (byte-small,
+            # CPU-heavy) exchange down to one partition and serialize the UDF.
+            num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        slim = slim.repartition(num_partitions, with_salt(slim, turn_bucket))
     return slim.mapInPandas(_make_batch_extract(emit_errors), EXTRACTED_SCHEMA)
 
 

@@ -175,6 +175,12 @@ def transcripts_from_documents(
     expressions. doc_id % 11 == 3 rows become plain-text (negative) turns;
     doc_id % 5 == 0 rows carry a colspan-2 merged first cell."""
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    # The source is a single small file (one input split): without an explicit
+    # repartition the explode + HTML synthesis below would run in ONE task and
+    # serialize the whole stage. The partition COUNT must be explicit — with
+    # AQE, repartition(col) alone gets size-coalesced (tiny bytes, heavy CPU)
+    # back down to one partition.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     d = docs.select("doc_id", "text").withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repeat - 1))))
     d = d.withColumn("idx", F.col("doc_id") * repeat + F.col("rep"))
     d = (
