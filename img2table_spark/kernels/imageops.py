@@ -1,0 +1,462 @@
+"""NumPy equivalents of the OpenCV primitives used by the reference.
+
+cv2 is unavailable here, so each routine replicates the exact OpenCV
+semantics the reference relies on (rounding, borders, anchors):
+
+  - rgb2gray: cv2.cvtColor RGB2GRAY fixed-point coefficients
+  - sauvola_threshold: cv2.ximgproc.niBlackThreshold BINARIZATION_SAUVOLA
+    (boxFilter mean/var, r=128) — reference tables/__init__.py:25-27
+  - gaussian_blur: cv2.GaussianBlur sigma-from-ksize incl. the small fixed
+    kernels for ksize ≤ 7, BORDER_REFLECT_101
+  - in_range, convert_scale_abs
+  - erode/dilate/morph open/close: rect kernels, cv2 anchor semantics for
+    even sizes, van Herk O(n) sliding min/max
+  - connected_components_with_stats: 8-connectivity run-based labeling
+  - bilateral_filter3: cv2.bilateralFilter(d=3) — radius-1 disc (4-neigh),
+    L1 color distance, reference lines.py:98
+  - laplacian3: cv2.Laplacian ksize=3 ([[2,0,2],[0,-8,0],[2,0,2]])
+  - find_external_bboxes: cv2.findContours RETR_EXTERNAL + boundingRect
+    (components enclosed in holes excluded)
+  - adaptive_threshold_gaussian_inv: cv2.adaptiveThreshold GAUSSIAN_C +
+    THRESH_BINARY_INV — reference common.py:158
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ----------------------------------------------------------------- grayscale
+
+def rgb2gray(img: np.ndarray) -> np.ndarray:
+    """cv2 RGB2GRAY: fixed-point (R*4899 + G*9617 + B*1868 + 8192) >> 14."""
+    r = img[:, :, 0].astype(np.int64)
+    g = img[:, :, 1].astype(np.int64)
+    b = img[:, :, 2].astype(np.int64)
+    return ((r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14).astype(np.uint8)
+
+
+# -------------------------------------------------------------- box/gaussian
+
+def _pad_replicate(a: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    return np.pad(a, ((ry, ry), (rx, rx)), mode="edge")
+
+
+def _box_sum(a: np.ndarray, ky: int, kx: int) -> np.ndarray:
+    """Sum over ky×kx windows centered (odd sizes), replicate border."""
+    ry, rx = ky // 2, kx // 2
+    p = _pad_replicate(a, ry, rx).astype(np.float64)
+    c = np.cumsum(np.cumsum(p, axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    H, W = a.shape
+    y0 = np.arange(H)
+    x0 = np.arange(W)
+    # window rows [y0, y0+ky), cols [x0, x0+kx) in padded coords
+    return (
+        c[np.ix_(y0 + ky, x0 + kx)]
+        - c[np.ix_(y0, x0 + kx)]
+        - c[np.ix_(y0 + ky, x0)]
+        + c[np.ix_(y0, x0)]
+    )
+
+
+def sauvola_threshold_mask(gray: np.ndarray, window: int, k: float = 0.2, r: float = 128.0) -> np.ndarray:
+    """255 where gray <= Sauvola threshold T = m·(1 + k·(s/r − 1)).
+
+    Matches cv2.ximgproc.niBlackThreshold(..., BINARIZATION_SAUVOLA) which
+    uses boxFilter means with replicate border; computed in float32 like the
+    OpenCV implementation.
+    """
+    g = gray.astype(np.float32)
+    n = float(window * window)
+    mean = (_box_sum(g, window, window) / n).astype(np.float32)
+    sqmean = (_box_sum(g * g, window, window) / n).astype(np.float32)
+    var = sqmean - mean * mean
+    std = np.sqrt(np.maximum(var, 0), dtype=np.float32)
+    thresh = mean * (1.0 + np.float32(k) * (std / np.float32(r) - 1.0))
+    return (255 * (gray <= thresh)).astype(np.uint8)
+
+
+_SMALL_GAUSS = {
+    1: np.array([1.0]),
+    3: np.array([0.25, 0.5, 0.25]),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625]),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125]),
+}
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    if sigma <= 0:
+        if ksize in _SMALL_GAUSS:
+            return _SMALL_GAUSS[ksize]
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    kern = np.exp(-(x * x) / (2 * sigma * sigma))
+    return kern / kern.sum()
+
+
+def _reflect101_idx(n: int, radius: int) -> np.ndarray:
+    idx = np.arange(-radius, n + radius)
+    idx = np.abs(idx)  # reflect at 0 without duplicating edge
+    over = idx > n - 1
+    idx[over] = 2 * (n - 1) - idx[over]
+    return idx
+
+
+def _sep_filter(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
+    r = len(kernel) // 2
+    n = a.shape[axis]
+    idx = _reflect101_idx(n, r)
+    padded = np.take(a, idx, axis=axis)
+    out = np.zeros_like(a, dtype=np.float64)
+    for i, w in enumerate(kernel):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(i, i + n)
+        out += w * padded[tuple(sl)]
+    return out
+
+
+def gaussian_blur_u8(gray: np.ndarray, ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2.GaussianBlur on 8U, BORDER_REFLECT_101, rounded to nearest."""
+    kern = gaussian_kernel_1d(ksize, sigma)
+    f = _sep_filter(gray.astype(np.float64), kern, axis=1)
+    f = _sep_filter(f, kern, axis=0)
+    return np.clip(np.rint(f), 0, 255).astype(np.uint8)
+
+
+def in_range_mask(gray: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    return (255 * ((gray >= lo) & (gray <= hi))).astype(np.uint8)
+
+
+def convert_scale_abs(a: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint(np.abs(a)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- morphology
+
+def _sliding_extreme_1d(a: np.ndarray, lo_off: int, hi_off: int, axis: int, maximum: bool, pad_val) -> np.ndarray:
+    """min/max over window [i+lo_off, i+hi_off] along axis (constant pad)."""
+    k = hi_off - lo_off + 1
+    n = a.shape[axis]
+    pad_before = max(0, -lo_off)
+    pad_after = max(0, hi_off)
+    pad_width = [(0, 0)] * a.ndim
+    pad_width[axis] = (pad_before, pad_after)
+    p = np.pad(a, pad_width, mode="constant", constant_values=pad_val)
+    # windows start at position i + lo_off + pad_before = i (when lo_off=-pad_before)
+    start = lo_off + pad_before
+    sw = np.lib.stride_tricks.sliding_window_view(p, k, axis=axis)
+    take = [slice(None)] * sw.ndim
+    take[axis] = slice(start, start + n)
+    w = sw[tuple(take)]
+    return w.max(axis=-1) if maximum else w.min(axis=-1)
+
+
+def _morph_1d(a: np.ndarray, k: int, axis: int, dilate: bool) -> np.ndarray:
+    if k <= 1:
+        return a
+    anchor = k // 2
+    # cv2 anchor semantics (validated against the RLSA text-mask BMP golden):
+    # both ops use windows [i-anchor, i+k-1-anchor] — for even k, erode kills
+    # the run START and dilate extends the run END.
+    lo, hi = -anchor, k - 1 - anchor
+    if dilate:
+        return _sliding_extreme_1d(a, lo, hi, axis, True, 0)
+    return _sliding_extreme_1d(a, lo, hi, axis, False, 255)
+
+
+def dilate_rect(a: np.ndarray, kx: int, ky: int, iterations: int = 1) -> np.ndarray:
+    """cv2.dilate with MORPH_RECT (kx width, ky height)."""
+    out = a
+    for _ in range(iterations):
+        out = _morph_1d(_morph_1d(out, kx, 1, True), ky, 0, True)
+    return out
+
+
+def erode_rect(a: np.ndarray, kx: int, ky: int, iterations: int = 1) -> np.ndarray:
+    out = a
+    for _ in range(iterations):
+        out = _morph_1d(_morph_1d(out, kx, 1, False), ky, 0, False)
+    return out
+
+
+def morph_open(a: np.ndarray, kx: int, ky: int, iterations: int = 1) -> np.ndarray:
+    out = a
+    for _ in range(iterations):
+        out = dilate_rect(erode_rect(out, kx, ky), kx, ky)
+    return out
+
+
+def morph_close(a: np.ndarray, kx: int, ky: int, iterations: int = 1) -> np.ndarray:
+    out = a
+    for _ in range(iterations):
+        out = erode_rect(dilate_rect(out, kx, ky), kx, ky)
+    return out
+
+
+# -------------------------------------------------- connected components
+
+def connected_components_with_stats(binary: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
+    """8-connectivity labeling of non-zero pixels.
+
+    Returns (n_labels, labels int32, stats int32 (n,5) [x, y, w, h, area]);
+    label 0 is background. Run-based two-pass with union-find; label ids are
+    re-numbered in raster order of first appearance.
+    """
+    H, W = binary.shape
+    fg = binary != 0
+    labels = np.zeros((H, W), dtype=np.int32)
+    if not fg.any():
+        stats = np.array([[0, 0, W, H, H * W]], dtype=np.int32)
+        return 1, labels, stats
+
+    # find runs per row
+    padded = np.zeros((H, W + 2), dtype=bool)
+    padded[:, 1:-1] = fg
+    diff = np.diff(padded.astype(np.int8), axis=1)
+    starts_r, starts_c = np.nonzero(diff == 1)
+    ends_r, ends_c = np.nonzero(diff == -1)
+    # runs: row, col_start, col_end(exclusive) — aligned since per row runs alternate
+    n_runs = len(starts_r)
+    run_row = starts_r
+    run_s = starts_c
+    run_e = ends_c
+
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # row boundaries in the run arrays
+    row_first = np.searchsorted(run_row, np.arange(H), side="left")
+    row_last = np.searchsorted(run_row, np.arange(H), side="right")
+
+    for r in range(1, H):
+        i0, i1 = row_first[r], row_last[r]
+        j0, j1 = row_first[r - 1], row_last[r - 1]
+        if i0 == i1 or j0 == j1:
+            continue
+        j = j0
+        for i in range(i0, i1):
+            s, e = run_s[i] - 1, run_e[i] + 1  # 8-connectivity widening
+            while j < j1 and run_e[j] <= s:
+                j += 1
+            jj = j
+            while jj < j1 and run_s[jj] < e:
+                ra, rb = find(i), find(jj)
+                if ra != rb:
+                    parent[rb] = ra
+                jj += 1
+            if j > j0:
+                j -= 1  # step back: next run may overlap same upper run
+
+    # root per run → component ids in raster order of first run
+    roots = np.array([find(i) for i in range(n_runs)])
+    comp_ids = {}
+    run_comp = np.zeros(n_runs, dtype=np.int32)
+    for i in range(n_runs):
+        rt = roots[i]
+        if rt not in comp_ids:
+            comp_ids[rt] = len(comp_ids) + 1
+        run_comp[i] = comp_ids[rt]
+
+    n_comp = len(comp_ids)
+    stats = np.zeros((n_comp + 1, 5), dtype=np.int64)
+    stats[:, 0] = W + 1  # x min
+    stats[:, 1] = H + 1  # y min
+    x2 = np.zeros(n_comp + 1, dtype=np.int64)
+    y2 = np.zeros(n_comp + 1, dtype=np.int64)
+
+    for i in range(n_runs):
+        c = run_comp[i]
+        r = run_row[i]
+        s, e = run_s[i], run_e[i]
+        labels[r, s:e] = c
+        if s < stats[c, 0]:
+            stats[c, 0] = s
+        if r < stats[c, 1]:
+            stats[c, 1] = r
+        if e > x2[c]:
+            x2[c] = e
+        if r + 1 > y2[c]:
+            y2[c] = r + 1
+        stats[c, 4] += e - s
+
+    stats[1:, 2] = x2[1:] - stats[1:, 0]
+    stats[1:, 3] = y2[1:] - stats[1:, 1]
+    # background stats (cv2 convention: bbox = full image, area = bg pixels)
+    stats[0] = [0, 0, W, H, H * W - stats[1:, 4].sum()]
+    return n_comp + 1, labels, stats.astype(np.int32)
+
+
+# ------------------------------------------------------------- bilateral
+
+def bilateral_filter3(img: np.ndarray, sigma_color: float = 40.0, sigma_space: float = 80.0) -> np.ndarray:
+    """cv2.bilateralFilter(src, d=3, sigmaColor, sigmaSpace) on RGB uint8.
+
+    d=3 → radius 1; OpenCV's disc test keeps only the 4-neighbors + center.
+    Color distance is the L1 norm over channels; border reflect101.
+    """
+    gc = -0.5 / (sigma_color * sigma_color)
+    gs = -0.5 / (sigma_space * sigma_space)
+    offsets = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+    space_w = [1.0] + [float(np.exp(gs * 1.0))] * 4
+
+    src = img.astype(np.float32)
+    H, W, _ = src.shape
+    iy = _reflect101_idx(H, 1)
+    ix = _reflect101_idx(W, 1)
+    p = src[iy][:, ix]  # (H+2, W+2, 3)
+
+    num = np.zeros_like(src)
+    den = np.zeros((H, W), dtype=np.float32)
+    center = p[1 : H + 1, 1 : W + 1]
+    for (dy, dx), sw in zip(offsets, space_w):
+        nb = p[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+        d = np.abs(nb - center).sum(axis=2)
+        w = (sw * np.exp(gc * d * d)).astype(np.float32)
+        num += w[:, :, None] * nb
+        den += w
+    out = num / den[:, :, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------------------- laplacian
+
+def laplacian3_f64(gray: np.ndarray) -> np.ndarray:
+    """cv2.Laplacian(src, CV_64F, ksize=3): kernel [[2,0,2],[0,-8,0],[2,0,2]],
+    border reflect101."""
+    g = gray.astype(np.float64)
+    iy = _reflect101_idx(g.shape[0], 1)
+    ix = _reflect101_idx(g.shape[1], 1)
+    p = g[iy][:, ix]
+    H, W = g.shape
+    c = lambda dy, dx: p[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]  # noqa: E731
+    return 2 * (c(-1, -1) + c(-1, 1) + c(1, -1) + c(1, 1)) - 8 * c(0, 0)
+
+
+# ------------------------------------------------------------ contours
+
+def find_external_bboxes(binary: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Bounding boxes of RETR_EXTERNAL contours: 8-connected components not
+    enclosed inside a hole of another component. Returned in cv2 order
+    (bottom-up raster of first appearance reversed is NOT guaranteed —
+    callers in the reference never rely on order beyond later sorts)."""
+    n, labels, stats = connected_components_with_stats(binary)
+    if n <= 1:
+        return []
+    # background components (4-connectivity on the complement)
+    bg = (binary == 0).astype(np.uint8)
+    nb, bg_labels, _ = _connected_components_4(bg)
+    # outer background labels: any bg component touching the border
+    border_bg = set(np.unique(np.concatenate([
+        bg_labels[0], bg_labels[-1], bg_labels[:, 0], bg_labels[:, -1]
+    ])))
+    border_bg.discard(0)
+    H, W = binary.shape
+    outer = np.isin(bg_labels, list(border_bg)) if border_bg else np.zeros_like(bg, dtype=bool)
+    # a component is external iff adjacent (8-neigh) to outer background or
+    # touching the image border
+    ext = set()
+    pad_outer = np.zeros((H + 2, W + 2), dtype=bool)
+    pad_outer[1:-1, 1:-1] = outer
+    pad_outer[0] = pad_outer[-1] = True
+    pad_outer[:, 0] = pad_outer[:, -1] = True
+    near_outer = np.zeros((H, W), dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            near_outer |= pad_outer[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+    ext_labels = np.unique(labels[(labels > 0) & near_outer])
+    ext = set(ext_labels.tolist())
+    # cv2.findContours returns external contours bottom-up: reverse the
+    # raster order (validated against the reference's elements.json golden)
+    return [
+        (int(stats[i, 0]), int(stats[i, 1]), int(stats[i, 2]), int(stats[i, 3]))
+        for i in range(n - 1, 0, -1)
+        if i in ext
+    ]
+
+
+def _connected_components_4(binary: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
+    """4-connectivity variant (for background labeling)."""
+    H, W = binary.shape
+    fg = binary != 0
+    labels = np.zeros((H, W), dtype=np.int32)
+    if not fg.any():
+        return 1, labels, np.zeros((1, 5), dtype=np.int32)
+    padded = np.zeros((H, W + 2), dtype=bool)
+    padded[:, 1:-1] = fg
+    diff = np.diff(padded.astype(np.int8), axis=1)
+    starts_r, starts_c = np.nonzero(diff == 1)
+    ends_r, ends_c = np.nonzero(diff == -1)
+    n_runs = len(starts_r)
+    run_row, run_s, run_e = starts_r, starts_c, ends_c
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    row_first = np.searchsorted(run_row, np.arange(H), side="left")
+    row_last = np.searchsorted(run_row, np.arange(H), side="right")
+    for r in range(1, H):
+        i0, i1 = row_first[r], row_last[r]
+        j0, j1 = row_first[r - 1], row_last[r - 1]
+        if i0 == i1 or j0 == j1:
+            continue
+        j = j0
+        for i in range(i0, i1):
+            s, e = run_s[i], run_e[i]  # 4-connectivity: strict overlap
+            while j < j1 and run_e[j] <= s:
+                j += 1
+            jj = j
+            while jj < j1 and run_s[jj] < e:
+                ra, rb = find(i), find(jj)
+                if ra != rb:
+                    parent[rb] = ra
+                jj += 1
+            if j > j0:
+                j -= 1
+    roots = [find(i) for i in range(n_runs)]
+    comp_ids: dict[int, int] = {}
+    for i in range(n_runs):
+        rt = roots[i]
+        if rt not in comp_ids:
+            comp_ids[rt] = len(comp_ids) + 1
+        labels[run_row[i], run_s[i] : run_e[i]] = comp_ids[rt]
+    return len(comp_ids) + 1, labels, np.zeros((len(comp_ids) + 1, 5), dtype=np.int32)
+
+
+# ---------------------------------------------------------- adaptive thresh
+
+def adaptive_threshold_gaussian_inv(gray: np.ndarray, block_size: int, c: int) -> np.ndarray:
+    """cv2.adaptiveThreshold(..., ADAPTIVE_THRESH_GAUSSIAN_C,
+    THRESH_BINARY_INV, block_size, C): 255 where src <= mean - C.
+    The gaussian mean is computed like cv2 (replicate border, rounded u8)."""
+    kern = gaussian_kernel_1d(block_size, 0.0)
+    # cv2 adaptiveThreshold uses BORDER_REPLICATE|BORDER_ISOLATED
+    r = block_size // 2
+    g = gray.astype(np.float64)
+    gp = np.pad(g, ((r, r), (r, r)), mode="edge")
+    f = _sep_filter_valid(gp, kern, axis=1)
+    f = _sep_filter_valid(f, kern, axis=0)
+    mean = np.clip(np.rint(f), 0, 255).astype(np.int32)
+    return (255 * (gray.astype(np.int32) <= mean - c)).astype(np.uint8)
+
+
+def _sep_filter_valid(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
+    """'valid' correlation along axis (input pre-padded)."""
+    k = len(kernel)
+    n = a.shape[axis] - k + 1
+    out = None
+    for i, w in enumerate(kernel):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(i, i + n)
+        piece = w * a[tuple(sl)]
+        out = piece if out is None else out + piece
+    return out

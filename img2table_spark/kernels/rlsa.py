@@ -1,0 +1,294 @@
+"""L1/L2 — adaptive RLSA text mask and image elements.
+
+Parity targets (reference):
+  - remove_noise:       .../borderless_tables/layout/rlsa.py:17-51
+  - adaptive_rlsa:      rlsa.py:54-114
+  - find_obstacles:     rlsa.py:117-156
+  - get_text_mask:      rlsa.py:159-236
+  - identify_text_mask: rlsa.py:239-305
+  - get_image_elements: .../layout/image_elements.py:7-27
+
+The reference's numba loops are replaced by sparse per-row scans and NumPy
+transition counting; thresholds and quirks (e.g. the dead elongation
+condition `max/min < 0.33`) are replicated verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from img2table_spark.kernels.imageops import (
+    connected_components_with_stats,
+    dilate_rect,
+    erode_rect,
+    find_external_bboxes,
+)
+from img2table_spark.kernels.objects import Cell, Line, Table
+
+
+def remove_noise(cc: np.ndarray, cc_stats: np.ndarray, average_height: float, median_width: float) -> np.ndarray:
+    """(reference: rlsa.py:17-51)"""
+    for idx in range(1, len(cc_stats)):
+        x, y, w, h, area = (int(v) for v in cc_stats[idx])
+        is_dash = (w / h >= 2) and (0.5 * median_width <= w <= 1.5 * median_width)
+        if is_dash:
+            continue
+        cond_height = h < average_height / 3
+        cond_elongation = max(h, w) / max(min(h, w), 1) < 0.33  # dead cond, kept verbatim
+        cond_low_density = area / (max(w, 1) * max(h, 1)) < 0.08
+        if cond_height or cond_elongation or cond_low_density:
+            sub = cc[y : y + h, x : x + w]
+            sub[sub == idx] = 0
+    return cc
+
+
+def adaptive_rlsa(cc: np.ndarray, cc_stats: np.ndarray, a: float, th: float, c: float) -> np.ndarray:
+    """(reference: rlsa.py:54-114) — per row, bridge gaps between consecutive
+    CC pixels when length/height/overlap conditions hold and no third CC
+    lies in the ±2-row gap window."""
+    rlsa_img = (cc > 0).astype(np.uint8)
+    H, W = cc.shape
+    stats = cc_stats
+
+    for row in range(H):
+        cols = np.nonzero(cc[row])[0]
+        if len(cols) == 0:
+            continue
+        row_labels = cc[row, cols]
+        prev_pos, prev_label = -1, -1
+        for col, label in zip(cols.tolist(), row_labels.tolist()):
+            if prev_label == -1 or label == -1:
+                prev_pos, prev_label = col, label
+                continue
+            if label == prev_label:
+                rlsa_img[row, prev_pos:col] = 1
+            else:
+                x1_cc, y1_cc, width_cc, height_cc = (int(v) for v in stats[label][:4])
+                x1_p, y1_p, width_p, height_p = (int(v) for v in stats[prev_label][:4])
+                length = col - prev_pos - 1
+                height_ratio = max(height_cc, height_p) / max(min(height_cc, height_p), 1)
+                h_overlap = min(y1_cc + height_cc, y1_p + height_p) - max(y1_cc, y1_p)
+
+                window = cc[max(0, row - 2) : min(row + 3, H), prev_pos + 1 : col]
+                no_other = not np.isin(window, [-1, 0, label, prev_label], invert=True).any()
+
+                if (
+                    length <= a * min(height_cc, height_p)
+                    and height_ratio <= th
+                    and h_overlap >= c * min(height_cc, height_p)
+                    and no_other
+                ):
+                    rlsa_img[row, prev_pos:col] = 1
+            prev_pos, prev_label = col, label
+    return rlsa_img
+
+
+def find_obstacles(img: np.ndarray, min_width: float) -> np.ndarray:
+    """(reference: rlsa.py:117-156) — vertical gaps > h/5 spanning a
+    min_width-wide column window."""
+    mask = np.zeros(img.shape, dtype=bool)
+    mw = int(np.ceil(min_width))
+    H, W = img.shape
+    if W - mw <= 0 or H == 0:
+        return mask
+    # window max over columns [col, col+mw-1] for col in 0..W-mw-1
+    sw = np.lib.stride_tricks.sliding_window_view(img, mw, axis=1)
+    win_any = (sw.max(axis=2) > 0)  # (H, W-mw+1)
+
+    for col in range(W - mw):
+        rows_on = np.nonzero(win_any[:, col])[0]
+        prev = -1
+        for row in rows_on.tolist():
+            if row - prev - 1 > H / 5:
+                mask[prev + 1 : row, col : col + mw] = True
+            prev = row
+        # ending check uses the final loop row = H-1 (reference quirk)
+        row = H - 1
+        if row + 1 - prev - 1 > H / 5:
+            mask[prev + 1 : row + 1, col : col + mw] = True
+    return mask
+
+
+def get_text_mask(
+    thresh: np.ndarray, cc_stats_rlsa: np.ndarray, char_length: float, median_width: float
+) -> np.ndarray:
+    """(reference: rlsa.py:159-236) — classify RLSA blobs as text via
+    white→black transition statistics."""
+    text_mask = np.zeros(thresh.shape, dtype=bool)
+
+    num = denum = 0
+    for i in range(1, cc_stats_rlsa.shape[0]):
+        h_i = int(cc_stats_rlsa[i, 3])
+        area_i = int(cc_stats_rlsa[i, 4])
+        num += h_i * area_i
+        denum += area_i
+    Hm = num / max(denum, 1)
+
+    for idx in range(len(cc_stats_rlsa)):
+        x, y, w, h, area = (int(v) for v in cc_stats_rlsa[idx])
+        if (w / h >= 2) and (0.5 * median_width <= w <= 1.5 * median_width):
+            text_mask[y : y + h, x : x + w] = True
+            continue
+        if idx == 0 or min(w, h) <= 2 * char_length / 3:
+            continue
+
+        sub = thresh[y : y + h, x : x + w]
+        on = sub == 255
+        # horizontal 0→255 transitions (prev starts at 0 per row)
+        prev_h = np.zeros_like(on)
+        prev_h[:, 1:] = on[:, :-1]
+        h_tc = int((on & ~prev_h).sum())
+        # vertical transitions + columns containing any pixel
+        prev_v = np.zeros_like(on)
+        prev_v[1:, :] = on[:-1, :]
+        v_tc = int((on & ~prev_v).sum())
+        nb_cols = int(on.any(axis=0).sum())
+
+        H_ = h
+        R = w / max(h, 1)
+        THx = h_tc / max(nb_cols, 1)
+        TVx = v_tc / max(nb_cols, 1)
+        THy = h_tc / max(h, 1)
+
+        is_text = False
+        if (0.8 * Hm <= H_ <= 1.2 * Hm) or (0.8 * Hm > H_ and 1.2 < THx < 3.5):
+            is_text = True
+        elif (THx < 0.2 and R > 5 and 0.95 < TVx < 1.05) or (
+            THx > 5 and R < 0.2 and 0.95 < THy < 1.05
+        ):
+            is_text = False
+        elif 1.2 * Hm < H_ and 1.2 < THx < 3.5 and 1.2 < TVx < 3.5:
+            is_text = True
+
+        if is_text:
+            text_mask[y : y + h, x : x + w] = True
+
+    return text_mask
+
+
+def identify_text_mask(
+    thresh: np.ndarray,
+    lines: list[Line],
+    char_length: float,
+    existing_tables: list[Table] | None = None,
+) -> np.ndarray:
+    """(reference: rlsa.py:239-305)"""
+    thresh = thresh.copy()
+    H, W = thresh.shape
+    for line in lines:
+        if line.horizontal and line.length >= 3 * char_length:
+            y1 = line.y1 - line.thickness // 2 - 1
+            y2 = line.y2 + line.thickness // 2 + 1
+            thresh[max(0, y1) : y2 + 1, max(0, line.x1) : line.x2 + 1] = 0
+        elif line.vertical and line.length >= 2 * char_length:
+            x1 = line.x1 - line.thickness // 2 - 1
+            x2 = line.x2 + line.thickness // 2 + 1
+            thresh[max(0, line.y1) : line.y2 + 1, max(0, x1) : x2 + 1] = 0
+
+    # dilation with 2×1 (width 2, height 1) kernel
+    thresh = dilate_rect(thresh, 2, 1)
+
+    n, cc, cc_stats = connected_components_with_stats(thresh)
+    if len(cc_stats) <= 1:
+        return thresh
+
+    average_height = float(np.mean(cc_stats[1:, 3]))
+    median_width = float(np.median(cc_stats[1:, 2]))
+    cc = cc.astype(np.int32)
+    cc_denoised = remove_noise(cc, cc_stats, average_height, median_width)
+
+    rlsa_small = adaptive_rlsa(cc_denoised, cc_stats, a=1, th=3.5, c=0.4)
+    rlsa_small = erode_rect((255 * (rlsa_small > 0)).astype(np.uint8), 1, 2)
+
+    mask_obstacles = find_obstacles(np.maximum(rlsa_small, thresh), min_width=char_length)
+    cc_obstacles = cc_denoised.copy()
+    cc_obstacles[mask_obstacles] = -1
+
+    rlsa_image = adaptive_rlsa(cc_obstacles, cc_stats, a=5, th=3.5, c=0.4)
+    _, _, cc_stats_rlsa = connected_components_with_stats(
+        (255 * (rlsa_image > 0)).astype(np.uint8)
+    )
+
+    text_mask = get_text_mask(thresh, cc_stats_rlsa, char_length, median_width)
+
+    cc_final = cc_obstacles.copy()
+    cc_final[~text_mask] = -1
+    rlsa_final = adaptive_rlsa(cc_final, cc_stats, a=1.25, th=3.5, c=0.4)
+
+    for tb in existing_tables or []:
+        rlsa_final[tb.y1 : tb.y2, tb.x1 : tb.x2] = 0
+
+    return erode_rect((255 * rlsa_final).astype(np.uint8), 1, 2)
+
+
+def get_image_elements(thresh: np.ndarray, char_length: float) -> list[Cell]:
+    """L2 (reference: image_elements.py:7-27)."""
+    elements = []
+    for x, y, w, h in find_external_bboxes(thresh):
+        if (min(h, w) >= 0.5 * char_length and max(h, w) >= char_length) or (
+            w / h >= 2 and 0.5 * char_length <= w <= 1.5 * char_length
+        ):
+            elements.append(Cell(x1=x, y1=y, x2=x + w, y2=y + h))
+    return elements
+
+
+# --------------------------------------------------------------- BMP reader
+
+def decode_bmp_gray(data: bytes) -> np.ndarray:
+    """Minimal BMP reader for the reference's .bmp golden fixtures
+    (uncompressed 8/24/32-bit), returned as grayscale uint8 like
+    cv2.imread(..., IMREAD_GRAYSCALE)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise ValueError("compressed BMP unsupported")
+    flip = height > 0
+    height = abs(height)
+    row_size = (width * bpp // 8 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=offset)
+    rows = rows.reshape(height, row_size)
+    if bpp == 8:
+        # palette lookup → gray via cv2 BGR coefficients
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4, offset=pal_off).reshape(-1, 4)
+        idxs = rows[:, :width]
+        b = pal[idxs, 0].astype(np.int64)
+        g = pal[idxs, 1].astype(np.int64)
+        r = pal[idxs, 2].astype(np.int64)
+        gray = ((r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14).astype(np.uint8)
+    elif bpp in (24, 32):
+        step = bpp // 8
+        px = rows[:, : width * step].reshape(height, width, step)
+        b = px[:, :, 0].astype(np.int64)
+        g = px[:, :, 1].astype(np.int64)
+        r = px[:, :, 2].astype(np.int64)
+        gray = ((r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported bpp {bpp}")
+    return gray[::-1] if flip else gray
+
+
+def decode_bmp_rgb(data: bytes) -> np.ndarray:
+    """BMP → RGB uint8 (24/32-bit uncompressed)."""
+    import struct
+
+    offset = struct.unpack("<I", data[10:14])[0]
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    flip = height > 0
+    height = abs(height)
+    row_size = (width * bpp // 8 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=offset)
+    rows = rows.reshape(height, row_size)
+    step = bpp // 8
+    px = rows[:, : width * step].reshape(height, width, step)
+    rgb = px[:, :, [2, 1, 0]]
+    return np.ascontiguousarray(rgb[::-1] if flip else rgb)
