@@ -1,27 +1,57 @@
-"""Image payload path (S1 + P/B/L pipelines).
+"""Image payload path (S1 decode + full P/B/L/T pipelines), invoked from the
+Arrow UDF (operators/extract.py).
 
-Round-1 status: payload validation only; the pure-NumPy CV pipeline
-(threshold → metrics → lines → cells → tables, reference:
-src/img2table/tables/image.py:32-124) is being built kernel-by-kernel against
-the reference's golden fixtures. cv2/pypdfium2 are not available in this
-environment, so decoding is stdlib (zlib PNG) and all morphology is NumPy.
+Payload forms (FIXTURES.md §1):
+  - plain base64 PNG bytes → geometry-only tables (no OCR: content empty,
+    like the reference with ocr=None — document/base/__init__.py:76-77)
+  - JSON object ``{"image": <b64 png>, "hocr": "<hocr html>",
+    "implicit_rows": bool, "implicit_columns": bool,
+    "borderless_tables": bool}`` → full content + title extraction using the
+    embedded hOCR word table (how the reference's own test suite supplies
+    OCR, tests/conftest.py:23-39)
 """
 
 from __future__ import annotations
 
 import base64
 import binascii
+import json
 
 from img2table_spark.kernels.objects import Table
 
 
 def extract_image_payload(text: str) -> list[Table]:
-    try:
-        data = base64.b64decode(text, validate=True)
-    except (binascii.Error, ValueError) as exc:
-        from img2table_spark.operators.extract import PayloadError
-
-        raise PayloadError(f"invalid base64 image payload: {exc}") from exc
     from img2table_spark.operators.extract import PayloadError
 
-    raise PayloadError("image CV pipeline not yet wired (kernels under construction)")
+    opts = {"implicit_rows": False, "implicit_columns": False, "borderless_tables": False}
+    hocr = None
+    payload = text.strip()
+    if payload.startswith("{"):
+        try:
+            obj = json.loads(payload)
+            b64 = obj["image"]
+            hocr = obj.get("hocr")
+            for k in opts:
+                if k in obj:
+                    opts[k] = bool(obj[k])
+        except (json.JSONDecodeError, KeyError, TypeError) as exc:
+            raise PayloadError(f"invalid image JSON payload: {exc}") from exc
+    else:
+        b64 = payload
+
+    try:
+        data = base64.b64decode(b64, validate=True)
+    except (binascii.Error, ValueError) as exc:
+        raise PayloadError(f"invalid base64 image payload: {exc}") from exc
+
+    from img2table_spark.kernels.document import extract_image_tables
+    from img2table_spark.kernels.hocr import parse_hocr_pages
+    from img2table_spark.kernels.png import PNGError, decode_png
+
+    try:
+        img = decode_png(data)
+    except PNGError as exc:
+        raise PayloadError(f"undecodable image payload: {exc}") from exc
+
+    words = parse_hocr_pages([hocr]) if hocr else None
+    return extract_image_tables(img, words=words, min_confidence=50, **opts)

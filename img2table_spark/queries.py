@@ -571,6 +571,56 @@ FROM f GROUP BY l_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# q14 — image-payload extraction e2e (S1/P/B/L/T pipelines inside the Arrow
+# UDF). No SQL oracle (pixel pipeline is not SQL-expressible): the driver
+# records a rows-only check; exact-parity oracles live in tests/ against the
+# reference's golden fixtures.
+# --------------------------------------------------------------------------
+
+_REF_FIXTURES = "/root/reference/tests"
+
+
+def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import datetime as dt
+    import json as _json
+    from pathlib import Path
+
+    from img2table_spark.schema import TRANSCRIPT_SCHEMA
+
+    ref = Path(_REF_FIXTURES)
+    rows = []
+    ts = dt.datetime(2026, 1, 1)
+    if ref.exists():
+        test_b64 = base64.b64encode(
+            (ref / "document/image/test_data/test.png").read_bytes()
+        ).decode()
+        dark_b64 = base64.b64encode(
+            (ref / "document/image/test_data/dark.png").read_bytes()
+        ).decode()
+        hocr = (ref / "_mock_data/tesseract_hocr.html").read_text()
+        for i in range(8):
+            rows.append(
+                (
+                    f"imgconv{i % 3}",
+                    i,
+                    "assistant",
+                    _json.dumps(
+                        {"image": test_b64 if i % 2 == 0 else dark_b64,
+                         "hocr": hocr if i % 2 == 0 else None,
+                         "implicit_rows": True}
+                    ),
+                    "image/png",
+                    ts,
+                )
+            )
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    from img2table_spark.operators.extract import extract_cells_flat
+
+    return extract_cells_flat(df, salt=True)
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -585,6 +635,7 @@ QUERIES = {
     "q11_winnow_fingerprint": q11_winnow_fingerprint,
     "q12_cosine_topk": q12_cosine_topk,
     "q13_interval_islands": q13_interval_islands,
+    "q14_image_extract": q14_image_extract,
 }
 
 ORACLES = {
