@@ -1,9 +1,24 @@
-"""PDF payload path (S2 render + S4 native-text words).
+"""PDF payload path: vector-native table extraction (S2/S4 substitute).
 
-Round-1 status: payload validation only. pypdfium2 is unavailable here, so
-the scale path keeps the reference's contract (200 DPI geometry, charbox →
-word clustering per ocr/pdf.py:106-224) behind this entry point; a pure-
-Python content-stream text extractor is planned for the native-text path.
+The reference rasterizes each page at 200 DPI and runs the pixel pipeline
+(document/pdf.py:46-67); rasterizing in pure Python is infeasible and
+wasteful at scale, so this path derives the same inputs directly from the
+PDF's vector content:
+
+  - table borders: stroked/filled path geometry drawn into a sparse binary
+    mask at 200 DPI → the SAME golden-tested line detector (B1's morphology
+    chain, kernels/lines.py:identify_straight_lines)
+  - characters: text operators + font metrics → charboxes in the
+    reference's 200-DPI coordinate space (ocr/pdf.py:119-152 transform)
+  - words: the reference's char-clustering rules verbatim
+    (ocr/pdf.py:106-197): split on whitespace chars, direction-coherent
+    y/x-overlap ≥ 0.5·min height, distance ≤ 2·word size
+  - char_length / median_line_sep / contours: computed from charboxes and
+    word boxes with the same estimators the reference applies to pixel
+    connected components (metrics.py:251-293,330-401)
+
+Then B2–B12 + T1–T8 run unchanged. Output contract: same tables, titles and
+200-DPI bboxes as the reference's raster path.
 """
 
 from __future__ import annotations
@@ -11,18 +26,385 @@ from __future__ import annotations
 import base64
 import binascii
 
-from img2table_spark.kernels.objects import Table
+import numpy as np
+import pandas as pd
+
+from img2table_spark.kernels.cells import get_cells
+from img2table_spark.kernels.implicit import implicit_content
+from img2table_spark.kernels.lines import identify_straight_lines
+from img2table_spark.kernels.metrics import get_row_separations
+from img2table_spark.kernels.objects import Cell, Line, Table
+from img2table_spark.kernels.pdf_native import (
+    SCALE,
+    PdfChar,
+    PdfDocument,
+    PdfError,
+    PdfRect,
+    interpret_page,
+)
+from img2table_spark.kernels.tables import get_tables, merge_consecutive_tables
+from img2table_spark.kernels.text import WORD_COLUMNS, get_text_cell, table_get_content
+from img2table_spark.kernels.common import merge_contours
+
+
+# ------------------------------------------------- words (ocr/pdf.py port)
+
+class _Word:
+    __slots__ = ("idx", "line_idx", "chars")
+
+    def __init__(self, idx, line_idx, chars):
+        self.idx = idx
+        self.line_idx = line_idx
+        self.chars = chars
+
+    @property
+    def x1(self):
+        return min(c[1] for c in self.chars) if self.chars else 0
+
+    @property
+    def y1(self):
+        return min(c[2] for c in self.chars) if self.chars else 0
+
+    @property
+    def x2(self):
+        return max(c[3] for c in self.chars) if self.chars else 0
+
+    @property
+    def y2(self):
+        return max(c[4] for c in self.chars) if self.chars else 0
+
+    @property
+    def width(self):
+        return (self.x2 - self.x1) or 1
+
+    @property
+    def height(self):
+        return (self.y2 - self.y1) or 1
+
+    @property
+    def value(self):
+        return "".join(c[0] for c in self.chars) if self.chars else None
+
+    @property
+    def direction(self):
+        if len(self.chars) >= 3:
+            if self.width / self.height >= 2:
+                return "horizontal"
+            if self.height / self.width >= 2:
+                return "vertical"
+        return "unknown"
+
+    @property
+    def size(self):
+        if not self.chars:
+            return 0
+        if self.direction == "horizontal":
+            return float(np.mean([(c[3] - c[1]) or 1 for c in self.chars]))
+        if self.direction == "vertical":
+            return float(np.mean([(c[4] - c[2]) or 1 for c in self.chars]))
+        return float(np.mean([max((c[4] - c[2]) or 1, (c[3] - c[1]) or 1) for c in self.chars]))
+
+    def distance(self, ch):
+        if not self.chars:
+            return 0
+        last = self.chars[-1]
+        return (
+            ((last[3] + last[1] - ch[3] - ch[1]) / 2) ** 2
+            + ((last[4] + last[2] - ch[4] - ch[2]) / 2) ** 2
+        ) ** 0.5
+
+    def corresponds(self, ch):
+        if not self.chars:
+            return True
+        if self.direction == "horizontal":
+            return min(self.y2, ch[4]) - max(self.y1, ch[2]) >= 0.5 * min(
+                self.height, (ch[4] - ch[2]) or 1
+            )
+        if self.direction == "vertical":
+            return min(self.x2, ch[3]) - max(self.x1, ch[1]) >= 0.5 * min(
+                self.width, (ch[3] - ch[1]) or 1
+            )
+        return self.distance(ch) <= 3 * self.size
+
+
+def chars_to_pixel(chars: list[PdfChar], page_height: float) -> list[tuple]:
+    """(value, x1, y1, x2, y2, iy1, iy2) int pixel tuples (reference
+    transform: ocr/pdf.py:146-152 — int() truncation, y flip). iy* are the
+    tight ink bounds used for contour synthesis."""
+    out = []
+    for c in chars:
+        x1 = int(c.x1 * SCALE)
+        y1 = int((page_height - c.y2) * SCALE)
+        x2 = int(c.x2 * SCALE)
+        y2 = int((page_height - c.y1) * SCALE)
+        iy1 = int((page_height - c.iy2) * SCALE)
+        iy2 = int((page_height - c.iy1) * SCALE)
+        out.append(
+            (c.value, min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2),
+             min(iy1, iy2), max(iy1, iy2))
+        )
+    return out
+
+
+def cluster_words(px_chars: list[tuple], page_idx: int) -> list[dict]:
+    """(reference: ocr/pdf.py:171-200)"""
+    word_id, line_id = 1, 1
+    words = [_Word(1, 1, [])]
+    for ch in px_chars:
+        if ch[0].strip() == "":
+            word_id += 1
+        elif words[-1].corresponds(ch):
+            if words[-1].distance(ch) <= 2 * words[-1].size and word_id == words[-1].idx:
+                words[-1].chars.append(ch)
+            else:
+                word_id += 1
+                words.append(_Word(word_id, line_id, [ch]))
+        else:
+            word_id += 1
+            line_id += 1
+            words.append(_Word(word_id, line_id, [ch]))
+    return [
+        {
+            "page": page_idx,
+            "class": "ocrx_word",
+            "id": f"word_{page_idx + 1}_{w.line_idx}_{w.idx}",
+            "parent": f"line_{page_idx + 1}_{w.line_idx}",
+            "value": w.value,
+            "confidence": 99,
+            "x1": w.x1,
+            "y1": w.y1,
+            "x2": w.x2,
+            "y2": w.y2,
+        }
+        for w in words
+        if w.value
+    ]
+
+
+# ---------------------------------------------------------- vector lines
+
+def detect_pdf_lines(
+    rects: list[PdfRect], page_height: float, img_shape: tuple[int, int],
+    min_line_length: float, char_length: float,
+) -> tuple[list[Line], list[Line]]:
+    """Draw vector strokes/fills into a binary 200-DPI mask and reuse the
+    golden-tested morphological line detector."""
+    H, W = img_shape
+    mask = np.zeros((H, W), dtype=np.uint8)
+    for r in rects:
+        if r.fill_white and r.stroke_width == 0:
+            continue  # invisible on paper
+        x1 = int(r.x1 * SCALE)
+        x2 = int(np.ceil(r.x2 * SCALE))
+        y1 = int((page_height - r.y2) * SCALE)
+        y2 = int(np.ceil((page_height - r.y1) * SCALE))
+        x2 = max(x2, x1 + 1)
+        y2 = max(y2, y1 + 1)
+        w, h = x2 - x1, y2 - y1
+        line_like = min(w, h) <= max(6, 2 * int(round(r.stroke_width * SCALE))) or (
+            min(w, h) <= 0.15 * max(w, h)
+        )
+        if line_like:
+            mask[max(0, y1) : min(H, y2), max(0, x1) : min(W, x2)] = 255
+        else:
+            # big ink fill: the raster edge detector would see its 4 edges
+            mask[max(0, y1) : min(H, y1 + 1), max(0, x1) : min(W, x2)] = 255
+            mask[max(0, y2 - 1) : min(H, y2), max(0, x1) : min(W, x2)] = 255
+            mask[max(0, y1) : min(H, y2), max(0, x1) : min(W, x1 + 1)] = 255
+            mask[max(0, y1) : min(H, y2), max(0, x2 - 1) : min(W, x2)] = 255
+
+    h_lines = identify_straight_lines(mask, min_line_length, char_length, vertical=False)
+    v_lines = identify_straight_lines(mask, min_line_length, char_length, vertical=True)
+    return h_lines, v_lines
+
+
+# ------------------------------------------------------------- metrics
+
+def pdf_metrics(px_chars: list[tuple], words: list[dict]):
+    """char_length / median_line_sep / contours from charboxes + word boxes,
+    using the reference's estimators (metrics.py:280-284, 330-401)."""
+    widths = [c[3] - c[1] for c in px_chars if c[0].strip() != "" and c[3] - c[1] > 0]
+    if not widths:
+        return None, None, []
+    argmax_cl = float(np.argmax(np.bincount(widths)))
+    mean_cl = float(np.mean(widths))
+    char_length = mean_cl if 1.5 * argmax_cl <= mean_cl else argmax_cl
+
+    # contours = words merged per visual line (the closing-by-half-char
+    # analog): merge word boxes whose x-gap ≤ char_length/2 on overlapping y.
+    # Vertical extent uses the TIGHT ink bounds — a pixel pipeline's contours
+    # never touch border lines, and the loose FontBBox box does.
+    ink_bounds: dict[tuple, tuple] = {}
+    for c in px_chars:
+        if c[0].strip() == "":
+            continue
+        key = (c[1], c[2], c[3], c[4])
+        ink_bounds[key] = (c[5], c[6])
+
+    def tight_cell(w) -> Cell:
+        iys = [
+            ink_bounds[k]
+            for k in ink_bounds
+            if k[0] >= w["x1"] and k[2] <= w["x2"] and k[1] >= w["y1"] and k[3] <= w["y2"]
+        ]
+        if iys:
+            return Cell(w["x1"], min(i[0] for i in iys), w["x2"], max(i[1] for i in iys))
+        return Cell(w["x1"], w["y1"], w["x2"], w["y2"])
+
+    cells = [tight_cell(w) for w in words]
+    merged: list[Cell] = []
+    for c in sorted(cells, key=lambda c: (c.y1, c.x1)):
+        hit = None
+        for m in merged:
+            y_ov = min(m.y2, c.y2) - max(m.y1, c.y1)
+            if y_ov > 0.5 * min(m.y2 - m.y1, c.y2 - c.y1) and (
+                -char_length / 2 <= c.x1 - m.x2 <= char_length / 2 or c.x1 <= m.x2
+            ):
+                hit = m
+                break
+        if hit:
+            hit.x1, hit.y1 = min(hit.x1, c.x1), min(hit.y1, c.y1)
+            hit.x2, hit.y2 = max(hit.x2, c.x2), max(hit.y2, c.y2)
+        else:
+            merged.append(Cell(c.x1, c.y1, c.x2, c.y2))
+
+    stats = np.array(
+        [[m.x1, m.y1, m.x2 - m.x1, m.y2 - m.y1] for m in merged], dtype=np.int64
+    )
+    seps = get_row_separations(stats, char_length) if len(stats) else []
+    if seps:
+        bins = [2 * (s // 2) + 1 for s in seps]
+        counts: dict[float, int] = {}
+        for b in bins:
+            counts[b] = counts.get(b, 0) + 1
+        median_line_sep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    else:
+        median_line_sep = None
+    return char_length, median_line_sep, merged
+
+
+# ------------------------------------------------------------- titles
+
+def _pdf_titles(tables: list[Table], words: pd.DataFrame, contours: list[Cell], width: int):
+    """T8 analog with word-blob contours instead of pixel contours
+    (reference: processing/text/titles.py:11-64)."""
+    if not tables:
+        return []
+    sorted_tables = sorted(tables, key=lambda tb: (tb.y1, tb.x1, tb.x2))
+    clusters = [[sorted_tables[0]]]
+    for tb in sorted_tables[1:]:
+        if tb.y1 > clusters[-1][-1].y2:
+            clusters.append([])
+        clusters[-1].append(tb)
+
+    final = []
+    for id_cl, cluster in enumerate(clusters):
+        x_delims = [round((t1.x2 + t2.x1) / 2) for t1, t2 in zip(cluster, cluster[1:])]
+        x_delims = [
+            max(10, round(cluster[0].x1 - 0.2 * (cluster[0].x2 - cluster[0].x1))),
+            *x_delims,
+            width - 10,
+        ]
+        x_delims = [
+            *x_delims,
+            min(width - 10, round(cluster[-1].x2 + 0.2 * (cluster[-1].x2 - cluster[-1].x1))),
+        ]
+        x_bounds = list(zip(x_delims, x_delims[1:]))
+        y_bounds = (
+            max(tb.y2 for tb in clusters[id_cl - 1]) if id_cl > 0 else 0,
+            min(tb.y1 for tb in cluster),
+        )
+        for id_tb, table in enumerate(cluster):
+            zone = Cell(x1=x_bounds[id_tb][0], y1=y_bounds[0], x2=x_bounds[id_tb][1], y2=y_bounds[1])
+            in_zone = [
+                c
+                for c in contours
+                if c.x1 >= zone.x1 and c.x2 <= zone.x2 and c.y1 >= zone.y1 and c.y2 <= zone.y2
+            ]
+            merged = merge_contours(in_zone, vertically=True)
+            title = get_text_cell(words, merged[-1], margin=5) if merged else None
+            table.title = title
+            final.append(table)
+    return final
+
+
+# --------------------------------------------------------------- pipeline
+
+def extract_pdf_tables_from_bytes(
+    data: bytes,
+    implicit_rows: bool = False,
+    implicit_columns: bool = False,
+    min_confidence: int = 50,
+) -> list[list[Table]]:
+    """PDF bytes → per-page content-filled tables (vector-native path)."""
+    doc = PdfDocument(data)
+    out: list[list[Table]] = []
+    for page_idx, page in enumerate(doc.pages()):
+        media = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
+        page_w = media[2] - media[0]
+        page_h = media[3] - media[1]
+        img_shape = (int(page_h * SCALE), int(page_w * SCALE))
+
+        chars, rects = interpret_page(doc, page)
+        px_chars = chars_to_pixel(chars, page_h)
+        word_dicts = cluster_words(px_chars, page_idx)
+        char_length, median_line_sep, contours = pdf_metrics(px_chars, word_dicts)
+        if char_length is None:
+            out.append([])
+            continue
+
+        min_line_length = (
+            int(min(1.5 * median_line_sep, 4 * char_length)) if median_line_sep else 20
+        )
+        h_lines, v_lines = detect_pdf_lines(
+            rects, page_h, img_shape, min_line_length, char_length
+        )
+        lines = h_lines + v_lines
+
+        cells = get_cells(h_lines, v_lines)
+        tables = get_tables(cells=cells, elements=contours, lines=lines, char_length=char_length)
+        tables = [
+            implicit_content(
+                table=tb,
+                contours=contours,
+                char_length=char_length,
+                implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+            )
+            for tb in tables
+        ]
+        tables = merge_consecutive_tables(tables, contours)
+        tables = [tb for tb in tables if min(tb.nb_rows, tb.nb_columns) >= 2]
+
+        words = pd.DataFrame(word_dicts, columns=WORD_COLUMNS)
+        if len(words):
+            tables = [table_get_content(tb, words, min_confidence) for tb in tables]
+            tables = [tb for tb in tables if max(tb.nb_rows, tb.nb_columns) >= 2]
+            tables = _pdf_titles(tables, words, contours, img_shape[1])
+        tables = [
+            tb
+            for tb in tables
+            if (max(tb.nb_rows, tb.nb_columns) >= 2 and not tb.borderless)
+            or (tb.nb_rows >= 2 and tb.nb_columns >= 3)
+        ]
+        out.append(tables)
+    return out
 
 
 def extract_pdf_payload(text: str) -> list[Table]:
+    """Spark-UDF entry: base64 PDF → flat table list (pages concatenated in
+    order, per-turn output contract)."""
+    from img2table_spark.operators.extract import PayloadError
+
     try:
         data = base64.b64decode(text, validate=True)
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF header")
     except (binascii.Error, ValueError) as exc:
-        from img2table_spark.operators.extract import PayloadError
-
         raise PayloadError(f"invalid PDF payload: {exc}") from exc
-    from img2table_spark.operators.extract import PayloadError
 
-    raise PayloadError("PDF pipeline not yet wired (kernels under construction)")
+    try:
+        pages = extract_pdf_tables_from_bytes(data, implicit_rows=True)
+    except PdfError as exc:
+        raise PayloadError(f"unsupported PDF: {exc}") from exc
+    return [tb for page in pages for tb in page]
