@@ -533,6 +533,77 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 
 
 # --------------------------------------------------------------------------
+# q15 — IVF-bucketed ANN: the scale path for q12. Vectors are assigned to
+# the nearest of 8 seed centroids (coarse quantization); queries search only
+# their own bucket. At 100 TB this turns an O(N·Q) brute force into a
+# shuffle-on-bucket + per-bucket local search.
+# --------------------------------------------------------------------------
+
+_IVF_SEEDS = 8
+
+
+def q15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < _IVF_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(v, sv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
+        "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(sv, 0D, (acc, x) -> acc + x * x)))"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_seed"), F.asc("seed_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("cos_seed", cos)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("seed_id").alias("bucket"))
+    )
+    queries = assigned.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
+        "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+Q15_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_IVF_SEEDS}),
+assigned AS (
+  SELECT vec_id, v, seed_id AS bucket FROM (
+    SELECT e.vec_id, e.v, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, s.sv) DESC, s.seed_id ASC) AS rk
+    FROM e, seeds s
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM assigned WHERE vec_id % 50 = 0)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+  SELECT q.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC) AS rank
+  FROM assigned a JOIN q ON a.bucket = q.qb
+  WHERE a.vec_id <> q.query_id
+) WHERE rank <= {_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # q13 — merge-contours analog: 1-D interval island counting via cumulative
 # window max (reference: common.py:92-130 axis sweep merge)
 # --------------------------------------------------------------------------
@@ -600,6 +671,9 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ref / "document/image/test_data/dark.png").read_bytes()
         ).decode()
         hocr = (ref / "_mock_data/tesseract_hocr.html").read_text()
+        pdf_b64 = base64.b64encode(
+            (ref / "document/pdf/test_data/test.pdf").read_bytes()
+        ).decode()
         for i in range(8):
             rows.append(
                 (
@@ -615,6 +689,8 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ts,
                 )
             )
+        for i in range(8, 12):
+            rows.append((f"pdfconv{i % 2}", i, "assistant", pdf_b64, "application/pdf", ts))
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     from img2table_spark.operators.extract import extract_cells_flat
 
@@ -636,6 +712,7 @@ QUERIES = {
     "q12_cosine_topk": q12_cosine_topk,
     "q13_interval_islands": q13_interval_islands,
     "q14_image_extract": q14_image_extract,
+    "q15_ann_ivf": q15_ann_ivf,
 }
 
 ORACLES = {
@@ -652,4 +729,5 @@ ORACLES = {
     "q11_winnow_fingerprint": Q11_SQL,
     "q12_cosine_topk": Q12_SQL,
     "q13_interval_islands": Q13_SQL,
+    "q15_ann_ivf": Q15_SQL,
 }
