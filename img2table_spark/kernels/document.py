@@ -24,7 +24,12 @@ def extract_image_tables(
     implicit_columns: bool = False,
     borderless_tables: bool = False,
     min_confidence: int = 50,
+    detect_rotation: bool = False,
 ) -> list[Table]:
+    if detect_rotation:
+        from img2table_spark.kernels.rotation import fix_rotation_image
+
+        img, _ = fix_rotation_image(img)
     tables = TableImage(img=img, min_confidence=min_confidence).extract_tables(
         implicit_rows=implicit_rows,
         implicit_columns=implicit_columns,
