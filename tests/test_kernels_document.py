@@ -78,3 +78,23 @@ def test_blank_image(ref_tests, hocr_words):
                                 borderless_tables=True) == []
     assert extract_image_tables(img, words=None, implicit_rows=True,
                                 borderless_tables=True) == []
+
+
+def test_to_xlsx_writer(ref_tests, hocr_words):
+    """K3 writer: round-trip through the stdlib reader equals expected.xlsx
+    values and sheet names (oracle: tests/document/image/test_image.py:95-107)."""
+    import io
+
+    from img2table_spark.kernels.xlsx import tables_to_xlsx_bytes
+
+    with open(ref_tests / "document/image/test_data/test.png", "rb") as f:
+        img = decode_png(f.read())
+    tables = extract_image_tables(img, words=hocr_words, implicit_rows=True, min_confidence=50)
+    tables = sorted(tables, key=lambda t: t.x1)
+    data = tables_to_xlsx_bytes({0: tables})
+
+    got = read_xlsx_values(io.BytesIO(data))
+    expected = read_xlsx_values(ref_tests / "document/image/test_data/expected.xlsx")
+    assert list(got.keys()) == list(expected.keys())
+    for name in expected:
+        assert got[name] == expected[name], name

@@ -29,10 +29,16 @@ def read_xlsx_values(path) -> dict[str, list[list]]:
         for c in root.iter(f"{_M}c"):
             ref = c.get("r")
             t = c.get("t")
-            v = c.find(f"{_M}v")
-            if v is None:
-                continue
-            val = shared[int(v.text)] if t == "s" else v.text
+            if t == "inlineStr":
+                is_el = c.find(f"{_M}is")
+                val = "".join(x.text or "" for x in is_el.iter(f"{_M}t")) if is_el is not None else None
+                if val is None:
+                    continue
+            else:
+                v = c.find(f"{_M}v")
+                if v is None:
+                    continue
+                val = shared[int(v.text)] if t == "s" else v.text
             m = re.match(r"([A-Z]+)(\d+)", ref)
             col = 0
             for ch in m.group(1):
