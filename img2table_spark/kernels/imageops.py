@@ -135,7 +135,11 @@ def convert_scale_abs(a: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- morphology
 
 def _sliding_extreme_1d(a: np.ndarray, lo_off: int, hi_off: int, axis: int, maximum: bool, pad_val) -> np.ndarray:
-    """min/max over window [i+lo_off, i+hi_off] along axis (constant pad)."""
+    """min/max over window [i+lo_off, i+hi_off] along axis (constant pad).
+
+    van Herk/Gil–Werman: O(n) independent of window size — the naive
+    sliding-window reduce is O(n·k) and dominates profiles for the long
+    line-detection kernels."""
     k = hi_off - lo_off + 1
     n = a.shape[axis]
     pad_before = max(0, -lo_off)
@@ -143,13 +147,47 @@ def _sliding_extreme_1d(a: np.ndarray, lo_off: int, hi_off: int, axis: int, maxi
     pad_width = [(0, 0)] * a.ndim
     pad_width[axis] = (pad_before, pad_after)
     p = np.pad(a, pad_width, mode="constant", constant_values=pad_val)
-    # windows start at position i + lo_off + pad_before = i (when lo_off=-pad_before)
-    start = lo_off + pad_before
-    sw = np.lib.stride_tricks.sliding_window_view(p, k, axis=axis)
-    take = [slice(None)] * sw.ndim
-    take[axis] = slice(start, start + n)
-    w = sw[tuple(take)]
-    return w.max(axis=-1) if maximum else w.min(axis=-1)
+    start = lo_off + pad_before  # result[i] = extreme over p[i+start : i+start+k]
+
+    m = np.moveaxis(p, axis, -1)
+    length = m.shape[-1]
+    ufunc = np.maximum if maximum else np.minimum
+    nblocks = -(-length // k)
+    padded_len = nblocks * k
+    if padded_len != length:
+        extra = np.full(m.shape[:-1] + (padded_len - length,), pad_val, dtype=m.dtype)
+        m = np.concatenate([m, extra], axis=-1)
+    blocks = m.reshape(m.shape[:-1] + (nblocks, k))
+    fwd = ufunc.accumulate(blocks, axis=-1).reshape(m.shape[:-1] + (padded_len,))
+    bwd = ufunc.accumulate(blocks[..., ::-1], axis=-1)[..., ::-1].reshape(
+        m.shape[:-1] + (padded_len,)
+    )
+    # window [j, j+k-1] = extreme(bwd[j], fwd[j+k-1])
+    idx = np.arange(start, start + n)
+    out = ufunc(bwd[..., idx], fwd[..., idx + k - 1])
+    return np.moveaxis(out, -1, axis)
+
+
+def _binary_window_1d(a: np.ndarray, lo: int, hi: int, axis: int, dilate: bool) -> np.ndarray:
+    """Binary-mask morphology via windowed counts (cumsum; O(n), SIMD-fast):
+    dilate ⇔ any set pixel in window, erode ⇔ all set. Exact for the 0/255
+    masks this engine uses everywhere."""
+    k = hi - lo + 1
+    pad_before = max(0, -lo)
+    pad_after = max(0, hi)
+    m = np.moveaxis(a, axis, -1)
+    n = m.shape[-1]
+    on = np.empty(m.shape[:-1] + (n + pad_before + pad_after + 1,), dtype=np.int32)
+    on[..., 0] = 0
+    fill = 0 if dilate else 1  # erode pads 'set' so borders don't erode
+    on[..., 1 : 1 + pad_before] = fill
+    on[..., 1 + pad_before : 1 + pad_before + n] = m != 0
+    on[..., 1 + pad_before + n :] = fill
+    cs = np.cumsum(on, axis=-1)
+    start = lo + pad_before  # window for i: [i+start, i+start+k-1]
+    wsum = cs[..., start + k : start + k + n] - cs[..., start : start + n]
+    out = (255 * ((wsum > 0) if dilate else (wsum == k))).astype(np.uint8)
+    return np.moveaxis(out, -1, axis)
 
 
 def _morph_1d(a: np.ndarray, k: int, axis: int, dilate: bool) -> np.ndarray:
@@ -160,9 +198,7 @@ def _morph_1d(a: np.ndarray, k: int, axis: int, dilate: bool) -> np.ndarray:
     # both ops use windows [i-anchor, i+k-1-anchor] — for even k, erode kills
     # the run START and dilate extends the run END.
     lo, hi = -anchor, k - 1 - anchor
-    if dilate:
-        return _sliding_extreme_1d(a, lo, hi, axis, True, 0)
-    return _sliding_extreme_1d(a, lo, hi, axis, False, 255)
+    return _binary_window_1d(a, lo, hi, axis, dilate)
 
 
 def dilate_rect(a: np.ndarray, kx: int, ky: int, iterations: int = 1) -> np.ndarray:

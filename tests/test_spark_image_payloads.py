@@ -66,3 +66,16 @@ def test_image_payloads_e2e(spark, ref_tests):
 
     # turn 2: blank.png → no tables
     assert 2 not in by_turn
+
+
+def test_pdf_payload_e2e(spark, ref_tests):
+    with open(ref_tests / "document/pdf/test_data/test.pdf", "rb") as f:
+        pdf_b64 = base64.b64encode(f.read()).decode()
+    ts = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("conv_pdf", 0, "assistant", pdf_b64, "application/pdf", ts)], TRANSCRIPT_SCHEMA
+    )
+    out = extract_tables(df, salt=True).orderBy("table_idx").collect()
+    assert len(out) == 4
+    assert [r["title"] for r in out] == [f"Example of Data Table {i}" for i in range(1, 5)]
+    assert all((r["n_rows"], r["n_cols"]) == (5, 4) for r in out)
