@@ -1,0 +1,120 @@
+"""S6–S11 — vendor OCR output → the fixed 10-column word table.
+
+The network/OCR engines themselves are out of scope (SURVEY.md §2.1); what
+the engine keeps is the adapter layer, so any OCR source can be plugged in
+as a DataFrame. Parsers ported with golden parity:
+
+  - easyocr_words:       reference src/img2table/ocr/easyocr.py:43-69
+  - textract_map_response: src/img2table/ocr/aws_textract.py:42-82
+  - vision_map_response:  src/img2table/ocr/google_vision.py:46-92
+  - (tesseract hOCR lives in kernels/hocr.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from img2table_spark.kernels.text import WORD_COLUMNS
+
+
+def words_dataframe(elements: list[dict]) -> pd.DataFrame | None:
+    if not elements:
+        return None
+    return pd.DataFrame(elements, columns=WORD_COLUMNS)
+
+
+def easyocr_words(content: list[list]) -> pd.DataFrame | None:
+    """content: per page, list of (polygon, text, confidence) triples."""
+    elements = []
+    for page, ocr_result in enumerate(content):
+        for idx, word in enumerate(ocr_result):
+            elements.append(
+                {
+                    "page": page,
+                    "class": "ocrx_word",
+                    "id": f"word_{page + 1}_{idx + 1}",
+                    "parent": f"word_{page + 1}_{idx + 1}",
+                    "value": word[1],
+                    "confidence": round(100 * word[2]),
+                    "x1": round(min(edge[0] for edge in word[0])),
+                    "y1": round(min(edge[1] for edge in word[0])),
+                    "x2": round(max(edge[0] for edge in word[0])),
+                    "y2": round(max(edge[1] for edge in word[0])),
+                }
+            )
+    return words_dataframe(elements)
+
+
+def textract_map_response(response: dict, width: int, height: int, page: int) -> list[dict]:
+    """AWS Textract detect_document_text response → word elements."""
+    dict_children: dict[str, str] = {}
+    word_elements = []
+    for block in response.get("Blocks"):
+        children = [
+            child
+            for rel in block.get("Relationships", [])
+            for child in rel.get("Ids")
+            if rel.get("Type") == "CHILD"
+        ]
+        for child in children:
+            dict_children[child] = block.get("Id")
+        if block.get("BlockType") == "WORD":
+            poly = block.get("Geometry").get("Polygon")
+            word_elements.append(
+                {
+                    "page": page,
+                    "class": "ocrx_word",
+                    "id": block.get("Id"),
+                    "parent": dict_children.get(block.get("Id")),
+                    "value": block.get("Text"),
+                    "confidence": round(block.get("Confidence", 0)),
+                    "x1": round(min(el.get("X") for el in poly) * width),
+                    "x2": round(max(el.get("X") for el in poly) * width),
+                    "y1": round(min(el.get("Y") for el in poly) * height),
+                    "y2": round(max(el.get("Y") for el in poly) * height),
+                }
+            )
+    return word_elements
+
+
+def vision_map_response(response: dict, page: int, width: int, height: int) -> list[dict]:
+    """Google Vision images:annotate response → word elements (incl. line
+    breaks and the 0/width replacement for missing vertex coords)."""
+    elements = []
+    blocks = response["responses"][0]["fullTextAnnotation"]["pages"][0]["blocks"]
+    for id_block, block in enumerate(blocks):
+        for id_par, par in enumerate(block.get("paragraphs")):
+            id_line = 0
+            for id_word, word in enumerate(par.get("words")):
+                verts = word.get("boundingBox").get("vertices")
+                x_avg = np.mean([el.get("x") for el in verts if el.get("x")])
+                x_repl = min((0, width), key=lambda val: abs(val - x_avg))
+                y_avg = np.mean([el.get("y") for el in verts if el.get("y")])
+                y_repl = min((0, height), key=lambda val: abs(val - y_avg))
+
+                d_el = {
+                    "page": page,
+                    "class": "ocrx_word",
+                    "id": f"word_{id_block}_{id_par}_{id_line}_{id_word}",
+                    "parent": f"line_{id_block}_{id_par}_{id_line}",
+                    "value": "".join(sym.get("text") for sym in word.get("symbols")),
+                    "confidence": round(100 * word.get("confidence")),
+                    "x1": min(el.get("x", x_repl) for el in verts),
+                    "x2": max(el.get("x", x_repl) for el in verts),
+                    "y1": min(el.get("y", y_repl) for el in verts),
+                    "y2": max(el.get("y", y_repl) for el in verts),
+                }
+                _break = (
+                    word.get("symbols")[-1]
+                    .get("property", {})
+                    .get("detectedBreak", {})
+                    .get("type")
+                )
+                if _break in ("EOL_SURE_SPACE", "LINE_BREAK"):
+                    id_line += 1
+                elif _break == "HYPHEN":
+                    id_line += 1
+                    d_el["value"] += "-"
+                elements.append(d_el)
+    return elements
