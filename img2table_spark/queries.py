@@ -604,6 +604,97 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 
 
 # --------------------------------------------------------------------------
+# q16 — near-dup CLUSTERS: connected components over the verified MinHash
+# pairs (q08) via iterative min-label propagation — the distributed
+# union-find (B5) analog at corpus scale. Converges in ≤ ceil(log2(diam))
+# rounds; keeper = min doc_id per cluster. SQL oracle: DuckDB recursive CTE.
+# --------------------------------------------------------------------------
+
+def q16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint per iteration: truncates lineage — without it the
+    # final plan nests every iteration's join and Catalyst blows up
+    pairs = q08_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(8):  # diameters beyond 2^8 don't occur in near-dup graphs
+        propagated = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(propagated, labels["node"] == propagated["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    out = labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"), F.min("node").alias("keeper")
+    )
+    return out.select(F.col("keeper").alias("cluster_id"), "cluster_size")
+
+
+Q16_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+mh AS (
+  SELECT doc_id, k, MIN(md5(k || '|' || s)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS k) seeds
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(h, ',' ORDER BY k) AS sig
+  FROM mh GROUP BY doc_id, k // {_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM cand p JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE 3 * i.inter >= na.n + nb.n
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node WHERE w.label < e.src
+),
+comp AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # q13 — merge-contours analog: 1-D interval island counting via cumulative
 # window max (reference: common.py:92-130 axis sweep merge)
 # --------------------------------------------------------------------------
@@ -713,6 +804,7 @@ QUERIES = {
     "q13_interval_islands": q13_interval_islands,
     "q14_image_extract": q14_image_extract,
     "q15_ann_ivf": q15_ann_ivf,
+    "q16_dedup_clusters": q16_dedup_clusters,
 }
 
 ORACLES = {
@@ -730,4 +822,5 @@ ORACLES = {
     "q12_cosine_topk": Q12_SQL,
     "q13_interval_islands": Q13_SQL,
     "q15_ann_ivf": Q15_SQL,
+    "q16_dedup_clusters": Q16_SQL,
 }
