@@ -118,3 +118,29 @@ def vision_map_response(response: dict, page: int, width: int, height: int) -> l
                     d_el["value"] += "-"
                 elements.append(d_el)
     return elements
+
+
+def paddle_words(content: list[dict]) -> pd.DataFrame | None:
+    """PaddleOCR 3.x predict output → word table
+    (reference: src/img2table/ocr/paddle.py:134-161; confidence 100·score
+    truncated to int like the polars i64 cast)."""
+    elements = []
+    for page, ocr_result in enumerate(content):
+        for idx, (word, conf, bbox) in enumerate(
+            zip(ocr_result["rec_texts"], ocr_result["rec_scores"], ocr_result["rec_boxes"])
+        ):
+            elements.append(
+                {
+                    "page": page,
+                    "class": "ocrx_word",
+                    "id": f"word_{page + 1}_{idx + 1}",
+                    "parent": f"word_{page + 1}_{idx + 1}",
+                    "value": word,
+                    "confidence": int(100 * conf),
+                    "x1": int(bbox[0]),
+                    "y1": int(bbox[1]),
+                    "x2": int(bbox[2]),
+                    "y2": int(bbox[3]),
+                }
+            )
+    return words_dataframe(elements)

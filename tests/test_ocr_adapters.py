@@ -44,3 +44,17 @@ def test_vision_adapter(ref_tests):
     with open(ref_tests / "ocr/google_vision/test_data/expected_content.json") as f:
         expected = json.load(f)
     assert result == expected[0]
+
+
+def test_paddle_adapter(ref_tests):
+    """Oracle: tests/ocr/paddle (hocr.json → ocr_df.csv)."""
+    from img2table_spark.kernels.ocr_adapters import paddle_words
+
+    with open(ref_tests / "ocr/paddle/test_data/hocr.json") as f:
+        content = json.load(f)
+    words = paddle_words(content)
+    expected = load_words_csv(ref_tests / "ocr/paddle/test_data/ocr_df.csv")
+    pd.testing.assert_frame_equal(
+        words.astype(str).reset_index(drop=True),
+        expected.astype(str).reset_index(drop=True),
+    )
