@@ -46,11 +46,15 @@ def extract_image_payload(text: str) -> list[Table]:
 
     from img2table_spark.kernels.document import extract_image_tables
     from img2table_spark.kernels.hocr import parse_hocr_pages
+    from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
     from img2table_spark.kernels.png import PNGError, decode_png
 
     try:
-        img = decode_png(data)
-    except PNGError as exc:
+        if data[:2] == b"\xff\xd8":
+            img = decode_jpeg(data)
+        else:
+            img = decode_png(data)
+    except (PNGError, JPEGError) as exc:
         raise PayloadError(f"undecodable image payload: {exc}") from exc
 
     words = parse_hocr_pages([hocr]) if hocr else None
