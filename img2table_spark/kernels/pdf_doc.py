@@ -405,6 +405,105 @@ def extract_pdf_payload(text: str) -> list[Table]:
 
     try:
         pages = extract_pdf_tables_from_bytes(data, implicit_rows=True)
+        if all(len(p) == 0 for p in pages):
+            doc = PdfDocument(data)
+            has_text = any(
+                len(interpret_page(doc, pg)[0]) > 0 for pg in doc.pages()
+            )
+            if not has_text:
+                # image-only PDF → raster path over embedded scans
+                pages = extract_scanned_pdf_tables(data, implicit_rows=True)
     except PdfError as exc:
         raise PayloadError(f"unsupported PDF: {exc}") from exc
     return [tb for page in pages for tb in page]
+
+
+# ------------------------------------------------- scanned-PDF raster path
+
+def _decode_xobject_image(doc: PdfDocument, xobj) -> "np.ndarray | None":
+    """Image XObject → RGB array. Supports DCTDecode (JPEG), and raw
+    FlateDecode Gray/RGB bitmaps (8-bit)."""
+    xobj = doc.resolve(xobj)
+    if not (isinstance(xobj, tuple) and xobj[0] == "stream"):
+        return None
+    d = xobj[1]
+    if str(doc.resolve(d.get("Subtype"))) != "Image":
+        return None
+    width = int(doc.resolve(d.get("Width")))
+    height = int(doc.resolve(d.get("Height")))
+    filt = doc.resolve(d.get("Filter"))
+    filt_names = [str(doc.resolve(f)) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
+    if "DCTDecode" in filt_names:
+        from img2table_spark.kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(xobj[2])
+    if filt_names in ([], ["FlateDecode"]):
+        import zlib as _z
+
+        raw = _z.decompress(xobj[2]) if filt_names else xobj[2]
+        bpc = int(doc.resolve(d.get("BitsPerComponent", 8)))
+        if bpc != 8:
+            return None
+        cs = str(doc.resolve(d.get("ColorSpace", "DeviceRGB")))
+        n = width * height
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        if cs == "DeviceGray" and len(arr) >= n:
+            g = arr[:n].reshape(height, width)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        if len(arr) >= 3 * n:
+            return np.ascontiguousarray(arr[: 3 * n].reshape(height, width, 3))
+    return None
+
+
+def extract_scanned_pdf_tables(
+    data: bytes,
+    implicit_rows: bool = False,
+    implicit_columns: bool = False,
+    borderless_tables: bool = False,
+    min_confidence: int = 50,
+) -> list[list["Table"]]:
+    """Raster path for image-only PDF pages: decode the page's largest image
+    XObject and run the full pixel pipeline (geometry only — scans have no
+    native text; plug an OCR word table for content). Output bboxes are in
+    the reference's 200-DPI page space (image coords rescaled)."""
+    from img2table_spark.kernels.document import extract_image_tables
+
+    doc = PdfDocument(data)
+    out = []
+    for page in doc.pages():
+        media = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
+        page_w_px = (media[2] - media[0]) * SCALE
+        page_h_px = (media[3] - media[1]) * SCALE
+        resources = doc.resolve(page.get("Resources")) or {}
+        xobjects = doc.resolve(resources.get("XObject")) or {}
+        best = None
+        for _, ref in xobjects.items():
+            img = _decode_xobject_image(doc, ref)
+            if img is not None and (best is None or img.size > best.size):
+                best = img
+        if best is None:
+            out.append([])
+            continue
+        tables = extract_image_tables(
+            best,
+            implicit_rows=implicit_rows,
+            implicit_columns=implicit_columns,
+            borderless_tables=borderless_tables,
+            min_confidence=min_confidence,
+        )
+        # rescale table coordinates from image space to 200-DPI page space
+        sy = page_h_px / best.shape[0]
+        sx = page_w_px / best.shape[1]
+        for tb in tables:
+            seen = set()
+            for row in tb.rows:
+                for c in row:
+                    if id(c) in seen:
+                        continue
+                    seen.add(id(c))
+                    c.x1 = int(round(c.x1 * sx))
+                    c.x2 = int(round(c.x2 * sx))
+                    c.y1 = int(round(c.y1 * sy))
+                    c.y2 = int(round(c.y2 * sy))
+        out.append(tables)
+    return out
