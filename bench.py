@@ -37,6 +37,13 @@ def run_extraction_throughput(cores: int, sf_dir: str) -> dict:
     import shutil
     import subprocess
 
+    # wait out leftover load (JVM shutdowns from prior runs) — interference
+    # is the dominant noise source for the scaling measurement
+    for _ in range(24):
+        if os.getloadavg()[0] < 2.0:
+            break
+        time.sleep(5)
+
     cmd = [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                         "scripts", "bench_extract.py"),
            str(cores), sf_dir, str(REPEAT)]
