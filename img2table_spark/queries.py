@@ -695,6 +695,100 @@ FROM comp GROUP BY label
 
 
 # --------------------------------------------------------------------------
+# q17 — n-gram Jaccard similarity: exact pairwise 3-gram Jaccard (integer
+# percent) for a bounded candidate set — the verification primitive behind
+# near-dup detection, exposed standalone. Shuffles on shingle (equi-join).
+# --------------------------------------------------------------------------
+
+def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ((100 * F.col("inter")) / (F.col("na.n") + F.col("nb.n") - F.col("inter")))
+            .cast("long")
+            .alias("jaccard_pct"),
+        )
+        .filter(F.col("jaccard_pct") >= 20)
+    )
+
+
+Q17_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST((100 * inter) // (na.n + nb.n - inter) AS BIGINT) AS jaccard_pct
+FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+WHERE (100 * inter) // (na.n + nb.n - inter) >= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — embedding-cosine near-dup pairs: vectors within a bucket (IVF coarse
+# quantization, as q15) whose cosine ≥ 0.99 — near-duplicate detection on
+# the embedding modality.
+# --------------------------------------------------------------------------
+
+def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
+    ).filter(F.col("vec_id") < 200)
+    j = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
+        "(sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x)))"
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b")  # ids only: float scores differ in the
+        # last ulp between engines (summation order) and break value hashing
+    )
+
+
+Q18_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
 # q13 — merge-contours analog: 1-D interval island counting via cumulative
 # window max (reference: common.py:92-130 axis sweep merge)
 # --------------------------------------------------------------------------
@@ -805,6 +899,8 @@ QUERIES = {
     "q14_image_extract": q14_image_extract,
     "q15_ann_ivf": q15_ann_ivf,
     "q16_dedup_clusters": q16_dedup_clusters,
+    "q17_ngram_jaccard": q17_ngram_jaccard,
+    "q18_embedding_neardup": q18_embedding_neardup,
 }
 
 ORACLES = {
@@ -823,4 +919,6 @@ ORACLES = {
     "q13_interval_islands": Q13_SQL,
     "q15_ann_ivf": Q15_SQL,
     "q16_dedup_clusters": Q16_SQL,
+    "q17_ngram_jaccard": Q17_SQL,
+    "q18_embedding_neardup": Q18_SQL,
 }
