@@ -58,45 +58,6 @@ class _Huff:
             self.lut_len[start : start + (1 << shift)] = ln
 
 
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int):
-        while self.nbits < need:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc <<= 8  # pad with zeros past the end
-            self.nbits += 8
-
-    def peek(self, n: int) -> int:
-        self._fill(n)
-        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-
-    def skip(self, n: int):
-        self._fill(n)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek(n)
-        self.skip(n)
-        return v
-
-    def reset(self):
-        self.acc = 0
-        self.nbits = 0
-
-
 def _extend(v: int, n: int) -> int:
     return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
 

@@ -94,3 +94,42 @@ def test_extract_plan_shape(spark, golden):
     plan = extract_tables(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
+
+
+def test_pipeline_mixed_payloads(spark, ref_tests, tmp_path):
+    """Resumable pipeline over a mixed corpus: HTML + image (with/without
+    OCR) + PDF + negatives; manifests account for every turn and error."""
+    import base64
+    import datetime as dt
+    import json as _json
+
+    from img2table_spark.schema import TRANSCRIPT_SCHEMA
+
+    with open(ref_tests / "document/image/test_data/test.png", "rb") as f:
+        png_b64 = base64.b64encode(f.read()).decode()
+    with open(ref_tests / "document/pdf/test_data/test.pdf", "rb") as f:
+        pdf_b64 = base64.b64encode(f.read()).decode()
+    with open(ref_tests / "_mock_data/tesseract_hocr.html") as f:
+        hocr = f.read()
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("m0", 0, "a", "<table><tr><td>x</td><td>y</td></tr></table>", "text/html", ts),
+        ("m0", 1, "a", _json.dumps({"image": png_b64, "hocr": hocr, "implicit_rows": True}),
+         "image/png", ts),
+        ("m1", 0, "a", pdf_b64, "application/pdf", ts),
+        ("m1", 1, "a", "plain prose", "text/plain", ts),
+        ("m2", 0, "a", "!!!corrupt!!!", "image/png", ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    summary = run_pipeline(spark, df, out, ckpt, n_buckets=4, wave_size=4)
+    # 1 html + 2 image + 4 pdf tables
+    assert summary["n_tables"] == 7
+    assert summary["n_errors"] == 1
+    committed = read_committed(ckpt)
+    assert sum(m["n_turns"] for m in committed.values()) == 5
+    written = spark.read.parquet(out)
+    assert written.count() == 7
+    titles = {r["title"] for r in written.collect() if r["title"]}
+    assert titles == {f"Example of Data Table {i}" for i in range(1, 5)}
