@@ -46,6 +46,21 @@ def run_pipeline(
     df = transcripts.withColumn("bucket", bucket_col(n_buckets))
 
     committed = read_committed(checkpoint_dir)
+    # lineage guard: manifests from a different input must not be trusted —
+    # silently skipping buckets of a new dataset would lose data
+    if input_path is not None:
+        foreign = {
+            b: m["input_path"]
+            for b, m in committed.items()
+            if m.get("input_path") not in (None, input_path)
+        }
+        if foreign:
+            b, other = next(iter(foreign.items()))
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir} holds manifests for a different "
+                f"input (bucket {b}: {other!r} != {input_path!r}); use a fresh "
+                "checkpoint dir or clear the stale manifests"
+            )
     todo = [b for b in range(n_buckets) if b not in committed]
     waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
     if max_waves is not None:

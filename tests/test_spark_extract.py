@@ -133,3 +133,19 @@ def test_pipeline_mixed_payloads(spark, ref_tests, tmp_path):
     assert written.count() == 7
     titles = {r["title"] for r in written.collect() if r["title"]}
     assert titles == {f"Example of Data Table {i}" for i in range(1, 5)}
+
+
+def test_pipeline_rejects_foreign_checkpoint(spark, golden, tmp_path):
+    """Manifests recorded for a different input path must abort the resume."""
+    import pytest as _pytest
+
+    df, _ = golden
+    inp1 = str(tmp_path / "in1")
+    inp2 = str(tmp_path / "in2")
+    df.write.parquet(inp1)
+    df.write.parquet(inp2)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_pipeline(spark, inp1, out, ckpt, n_buckets=4, wave_size=4)
+    with _pytest.raises(ValueError, match="different"):
+        run_pipeline(spark, inp2, out, ckpt, n_buckets=4, wave_size=4)
