@@ -789,6 +789,34 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 
 
 # --------------------------------------------------------------------------
+# q19 — token counting: whitespace tokens vs a BPE-ish regex segmentation
+# (letters runs | digit runs | single punctuation) — the tokenizer-side
+# statistics a training-data pipeline tracks per document.
+# --------------------------------------------------------------------------
+
+_TOK_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q19_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_TOK_RE}', 0)")).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+Q19_SQL = f"""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOK_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # q13 — merge-contours analog: 1-D interval island counting via cumulative
 # window max (reference: common.py:92-130 axis sweep merge)
 # --------------------------------------------------------------------------
@@ -901,6 +929,7 @@ QUERIES = {
     "q16_dedup_clusters": q16_dedup_clusters,
     "q17_ngram_jaccard": q17_ngram_jaccard,
     "q18_embedding_neardup": q18_embedding_neardup,
+    "q19_token_counts": q19_token_counts,
 }
 
 ORACLES = {
@@ -921,4 +950,5 @@ ORACLES = {
     "q16_dedup_clusters": Q16_SQL,
     "q17_ngram_jaccard": Q17_SQL,
     "q18_embedding_neardup": Q18_SQL,
+    "q19_token_counts": Q19_SQL,
 }
