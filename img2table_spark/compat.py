@@ -1,0 +1,203 @@
+"""Drop-in facade mirroring the reference's public API.
+
+A user of ``img2table`` can switch imports and keep their code:
+
+    from img2table_spark.compat import Image, PDF, HocrOCR, WordTableOCR
+
+    tables = Image(src).extract_tables(ocr=HocrOCR([hocr_html]),
+                                       implicit_rows=True)
+    tables[0].bbox, tables[0].title, tables[0].content, tables[0].df,
+    tables[0].html, Image(src).to_xlsx("out.xlsx", ...)
+
+Parity targets: Document/Image/PDF surface
+(reference src/img2table/document/*), ExtractedTable accessors
+(reference src/img2table/tables/objects/extraction.py:129-226). OCR engines
+are injected as word tables (``WordTableOCR``) or hOCR strings
+(``HocrOCR``) — the same mechanism the reference's own test suite uses.
+Heavy lifting is the exact same kernels the Spark operator runs; this
+facade is the single-document local path.
+"""
+
+from __future__ import annotations
+
+import io
+from collections import OrderedDict
+from dataclasses import dataclass
+from pathlib import Path
+
+import pandas as pd
+
+from img2table_spark.kernels.document import extract_image_tables
+from img2table_spark.kernels.hocr import parse_hocr_pages
+from img2table_spark.kernels.html_io import extracted_table_html
+from img2table_spark.kernels.jpeg import decode_jpeg
+from img2table_spark.kernels.objects import Table
+from img2table_spark.kernels.pdf_doc import extract_pdf_tables_from_bytes
+from img2table_spark.kernels.png import decode_png
+from img2table_spark.kernels.xlsx import tables_to_xlsx_bytes
+
+
+@dataclass
+class BBox:
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+
+
+@dataclass
+class TableCell:
+    bbox: BBox
+    value: str | None
+
+
+class ExtractedTable:
+    """reference: tables/objects/extraction.py:129-226."""
+
+    def __init__(self, table: Table):
+        self._table = table
+        self.bbox = BBox(table.x1, table.y1, table.x2, table.y2)
+        self.title = table.title
+        self.content: OrderedDict[int, list[TableCell]] = OrderedDict(
+            (
+                idx,
+                [
+                    TableCell(BBox(c.x1, c.y1, c.x2, c.y2), c.content)
+                    for c in row
+                ],
+            )
+            for idx, row in enumerate(table.rows)
+        )
+
+    @property
+    def df(self) -> pd.DataFrame:
+        return pd.DataFrame([[c.value for c in row] for row in self.content.values()])
+
+    @property
+    def html(self) -> str:
+        return extracted_table_html(self._table)
+
+    def __repr__(self) -> str:
+        return (
+            f"ExtractedTable(title={self.title}, bbox=({self.bbox.x1}, {self.bbox.y1}, "
+            f"{self.bbox.x2}, {self.bbox.y2}),shape=({len(self.content)}, "
+            f"{len(self.content[0])}))".strip()
+        )
+
+
+class WordTableOCR:
+    """Any OCR output already normalized to the 10-column word table."""
+
+    def __init__(self, words: pd.DataFrame):
+        self.words = words
+
+    def words_for_page(self, page: int) -> pd.DataFrame:
+        return self.words[self.words["page"] == page]
+
+
+class HocrOCR(WordTableOCR):
+    """Tesseract-style hOCR pages (reference: ocr/tesseract.py)."""
+
+    def __init__(self, hocr_pages: list[str]):
+        super().__init__(parse_hocr_pages(hocr_pages))
+
+
+def _read_src(src) -> bytes:
+    if isinstance(src, (str, Path)):
+        return Path(src).read_bytes()
+    if isinstance(src, io.BytesIO):
+        return src.getvalue()
+    if isinstance(src, bytes):
+        return src
+    raise TypeError(f"Invalid type {type(src)} for src argument")
+
+
+class Image:
+    """reference: document/image.py."""
+
+    def __init__(self, src, detect_rotation: bool = False):
+        if not isinstance(detect_rotation, bool):
+            raise TypeError(
+                f"Invalid type {type(detect_rotation)} for detect_rotation argument"
+            )
+        self.bytes = _read_src(src)
+        self.detect_rotation = detect_rotation
+
+    @property
+    def images(self):
+        data = self.bytes
+        img = decode_jpeg(data) if data[:2] == b"\xff\xd8" else decode_png(data)
+        return [img]
+
+    def extract_tables(
+        self,
+        ocr: WordTableOCR | None = None,
+        implicit_rows: bool = False,
+        implicit_columns: bool = False,
+        borderless_tables: bool = False,
+        min_confidence: int = 50,
+    ) -> list[ExtractedTable]:
+        words = ocr.words_for_page(0) if ocr is not None else None
+        tables = extract_image_tables(
+            self.images[0],
+            words=words,
+            implicit_rows=implicit_rows,
+            implicit_columns=implicit_columns,
+            borderless_tables=borderless_tables,
+            min_confidence=min_confidence,
+            detect_rotation=self.detect_rotation,
+        )
+        return [ExtractedTable(tb) for tb in tables]
+
+    def to_xlsx(self, dest, **kwargs):
+        tables = self.extract_tables(**kwargs)
+        data = tables_to_xlsx_bytes({0: [t._table for t in tables]})
+        if isinstance(dest, io.BytesIO):
+            dest.write(data)
+            dest.seek(0)
+            return dest
+        Path(dest).write_bytes(data)
+        return None
+
+
+class PDF:
+    """reference: document/pdf.py (vector-native path; scanned pages fall
+    back to the raster pipeline)."""
+
+    def __init__(self, src, pages: list[int] | None = None, detect_rotation: bool = False):
+        if pages is not None:
+            if not isinstance(pages, list) or not all(isinstance(p, int) for p in pages):
+                raise TypeError(f"Invalid type {type(pages)} for pages argument")
+        self.bytes = _read_src(src)
+        self.pages = pages
+
+    def extract_tables(
+        self,
+        ocr: WordTableOCR | None = None,
+        implicit_rows: bool = False,
+        implicit_columns: bool = False,
+        borderless_tables: bool = False,
+        min_confidence: int = 50,
+    ) -> dict[int, list[ExtractedTable]]:
+        all_pages = extract_pdf_tables_from_bytes(
+            self.bytes,
+            implicit_rows=implicit_rows,
+            implicit_columns=implicit_columns,
+            min_confidence=min_confidence,
+        )
+        page_ids = self.pages if self.pages is not None else range(len(all_pages))
+        return {
+            p: [ExtractedTable(tb) for tb in all_pages[p]]
+            for p in page_ids
+            if 0 <= p < len(all_pages)
+        }
+
+    def to_xlsx(self, dest, **kwargs):
+        pages = self.extract_tables(**kwargs)
+        data = tables_to_xlsx_bytes({p: [t._table for t in tbs] for p, tbs in pages.items()})
+        if isinstance(dest, io.BytesIO):
+            dest.write(data)
+            dest.seek(0)
+            return dest
+        Path(dest).write_bytes(data)
+        return None
