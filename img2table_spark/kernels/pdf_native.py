@@ -419,11 +419,9 @@ def load_fonts(doc: PdfDocument, resources) -> dict[str, FontInfo]:
                 fi.descent = fi.descent_ink = float(doc.resolve(desc["Descent"]))
             if "MissingWidth" in desc:
                 fi.default_width = float(doc.resolve(desc["MissingWidth"]))
-            bbox = doc.resolve(desc.get("FontBBox"))
-            if bbox:
-                # pdfium's loose charbox spans the full font bbox vertically
-                fi.descent = min(fi.descent, float(doc.resolve(bbox[1])))
-                fi.ascent = max(fi.ascent, float(doc.resolve(bbox[3])))
+            # pdfium's loose charbox uses the descriptor Ascent/Descent —
+            # validated against tests/ocr/pdf ocr_df.csv (FontBBox widening
+            # overshoots y1 by ~8px at 14pt/200DPI)
         enc = doc.resolve(fd.get("Encoding"))
         if isinstance(enc, dict):
             diffs = doc.resolve(enc.get("Differences"))
