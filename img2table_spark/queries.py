@@ -14,6 +14,8 @@ Design rules for oracle parity:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from img2table_spark.operators.extract import extract_cells_flat
@@ -536,32 +538,55 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 # q15 — IVF-bucketed ANN: the scale path for q12. Vectors are assigned to
 # the nearest of 8 seed centroids (coarse quantization); queries search only
 # their own bucket. At 100 TB this turns an O(N·Q) brute force into a
-# shuffle-on-bucket + per-bucket local search.
+# shuffle-on-bucket + per-bucket local search. At real scale the seed count
+# grows with the corpus (k ≈ N / target_bucket_size, kmeans-trained) so the
+# per-bucket work stays bounded; here k=8 over the fixture-scale table.
 # --------------------------------------------------------------------------
 
 _IVF_SEEDS = 8
 
+# argmax over the (tiny, literal) seed array: cosine per seed computed once,
+# best (cos desc, seed_id asc) picked by struct-ordered array_max — per-row,
+# no row explosion, no window shuffle.
+_IVF_ASSIGN_EXPR = """
+- array_max(transform(seeds, s -> struct(
+    aggregate(zip_with(v, s.sv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+      (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) *
+       sqrt(aggregate(s.sv, 0D, (acc, x) -> acc + x * x))) AS c,
+    -s.seed_id AS nid))).nid
+"""
 
-def q15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, v, bucket) via nearest-of-k-seeds coarse
+    quantization. The k seed vectors are collected to the driver (k rows —
+    at real scale this is the kmeans centroid table, always driver-small)
+    and embedded as a literal array, so assignment is a narrow per-row map:
+    no crossJoin row explosion, no window shuffle."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
     )
-    seeds = emb.filter(F.col("vec_id") < _IVF_SEEDS).select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < _IVF_SEEDS).collect(), key=lambda r: r["vec_id"]
     )
-    cos = F.expr(
-        "aggregate(zip_with(v, sv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
-        "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
-        "sqrt(aggregate(sv, 0D, (acc, x) -> acc + x * x)))"
+    seeds_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).cast("long").alias("seed_id"),
+                F.array(*[F.lit(float(x)) for x in r["v"]]).alias("sv"),
+            )
+            for r in seed_rows
+        ]
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_seed"), F.asc("seed_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(seeds))
-        .withColumn("cos_seed", cos)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", F.col("seed_id").alias("bucket"))
+    return (
+        emb.withColumn("seeds", seeds_lit)
+        .withColumn("bucket", F.expr(_IVF_ASSIGN_EXPR))
+        .select("vec_id", "v", "bucket")
     )
+
+
+def q15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir)
     queries = assigned.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -606,40 +631,60 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 # --------------------------------------------------------------------------
 # q16 — near-dup CLUSTERS: connected components over the verified MinHash
 # pairs (q08) via iterative min-label propagation — the distributed
-# union-find (B5) analog at corpus scale. Converges in ≤ ceil(log2(diam))
-# rounds; keeper = min doc_id per cluster. SQL oracle: DuckDB recursive CTE.
+# union-find (B5) analog at corpus scale. Iterates until a round changes no
+# label (converges in ≤ ceil(log2(diam)) rounds; near-dup graphs have tiny
+# diameters, so this usually exits after 2-3 rounds instead of a fixed 8);
+# keeper = min doc_id per cluster. SQL oracle: DuckDB recursive CTE.
 # --------------------------------------------------------------------------
 
-def q16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint per iteration: truncates lineage — without it the
-    # final plan nests every iteration's join and Catalyst blows up
-    pairs = q08_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    edges = (
+_MAX_LP_ROUNDS = 32  # safety backstop; convergence check is the real exit
+
+
+def q16_dedup_clusters(
+    spark: SparkSession, sf_dir: str, *, reliable: bool = False
+) -> DataFrame:
+    """Label propagation with per-round lineage truncation.
+
+    reliable=False (default, interactive/driver-gate path): localCheckpoint —
+    executor-local, fast, fine when executor loss means job retry anyway.
+    reliable=True (pipeline-scale path): ``df.checkpoint()`` to the reliable
+    checkpoint dir — survives executor loss at cluster scale, where a lost
+    localCheckpoint block would kill the job after hours of rounds. Callers
+    must have set ``spark.sparkContext.setCheckpointDir`` (the pipeline does).
+    """
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    pairs = _ckpt(q08_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
+    edges = _ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    for _ in range(8):  # diameters beyond 2^8 don't occur in near-dup graphs
+    for _ in range(_MAX_LP_ROUNDS):
         propagated = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        stepped = _ckpt(
             labels.join(propagated, labels["node"] == propagated["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
         )
+        n_changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
+        if n_changed == 0:
+            break
     out = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"), F.min("node").alias("keeper")
     )
@@ -698,10 +743,24 @@ FROM comp GROUP BY label
 # q17 — n-gram Jaccard similarity: exact pairwise 3-gram Jaccard (integer
 # percent) for a bounded candidate set — the verification primitive behind
 # near-dup detection, exposed standalone. Shuffles on shingle (equi-join).
+# Corpus-common shingles (document frequency > _DF_CAP) are dropped BEFORE
+# the self-join — the standard document-frequency cut: one hot trigram would
+# otherwise make the join key quadratic (O(df²) pairs on a single key) at
+# corpus scale. Jaccard is computed over the capped shingle sets.
 # --------------------------------------------------------------------------
 
+_DF_CAP = 100
+
+
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    raw = _shingles(spark, sf_dir)
+    rare = (
+        raw.groupBy("s")
+        .agg(F.count("*").alias("df"))  # raw is distinct (doc_id, s) → df
+        .filter(F.col("df") <= _DF_CAP)
+        .select("s")
+    )
+    sh = raw.join(rare, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -724,15 +783,17 @@ def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q17_SQL = """
+Q17_SQL = f"""
 WITH toks AS (
   SELECT doc_id, str_split(text, ' ') AS t FROM documents
   WHERE len(str_split(text, ' ')) >= 3
 ),
-sh AS (
+raw AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
   FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
 ),
+rare AS (SELECT s FROM raw GROUP BY s HAVING COUNT(*) <= {_DF_CAP}),
+sh AS (SELECT raw.doc_id, raw.s FROM raw JOIN rare ON raw.s = rare.s),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -747,18 +808,20 @@ WHERE (100 * inter) // (na.n + nb.n - inter) >= 20
 
 
 # --------------------------------------------------------------------------
-# q18 — embedding-cosine near-dup pairs: vectors within a bucket (IVF coarse
-# quantization, as q15) whose cosine ≥ 0.99 — near-duplicate detection on
-# the embedding modality.
+# q18 — embedding-cosine near-dup pairs: vectors within the SAME IVF bucket
+# (coarse quantization shared with q15) whose cosine ≥ 0.35 — near-duplicate
+# detection on the embedding modality. The pair join is an equi-join on
+# bucket (shuffle on bucket, all-pairs only within a bucket); at real scale
+# the seed count grows with the corpus so per-bucket work stays bounded —
+# never a cartesian across the table.
 # --------------------------------------------------------------------------
 
 def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
-    ).filter(F.col("vec_id") < 200)
-    j = (
-        emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+    assigned = _ivf_assigned(spark, sf_dir)
+    j = assigned.alias("a").join(
+        assigned.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
@@ -777,13 +840,19 @@ def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q18_SQL = """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE vec_id < 200
+Q18_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_IVF_SEEDS}),
+assigned AS (
+  SELECT vec_id, v, seed_id AS bucket FROM (
+    SELECT e.vec_id, e.v, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, s.sv) DESC, s.seed_id ASC) AS rk
+    FROM e, seeds s
+  ) WHERE rk = 1
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
 
@@ -857,12 +926,24 @@ FROM f GROUP BY l_suppkey
 
 # --------------------------------------------------------------------------
 # q14 — image-payload extraction e2e (S1/P/B/L/T pipelines inside the Arrow
-# UDF). No SQL oracle (pixel pipeline is not SQL-expressible): the driver
-# records a rows-only check; exact-parity oracles live in tests/ against the
-# reference's golden fixtures.
+# UDF). DuckDB cannot COMPUTE the pixel pipeline, but it can COMPARE it: the
+# oracle is a SELECT over a golden parquet of the expected flat cells, whose
+# values are pinned by the reference's own golden fixtures (the pytest suite
+# asserts the kernels against tests/document/image/test_data/expected.xlsx
+# and expected_tables.json; scripts/make_q14_golden.py materializes the
+# verified output). Regenerate the golden whenever a kernel changes AND the
+# pytest golden suite is green.
 # --------------------------------------------------------------------------
 
 _REF_FIXTURES = "/root/reference/tests"
+_Q14_GOLDEN = str(
+    Path(__file__).resolve().parents[1] / "tests" / "golden" / "q14_cells.parquet"
+)
+
+Q14_SQL = f"""
+SELECT conv_id, turn_idx, table_idx, row_idx, col_idx, value
+FROM read_parquet('{_Q14_GOLDEN}')
+"""
 
 
 def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,6 +1027,7 @@ ORACLES = {
     "q11_winnow_fingerprint": Q11_SQL,
     "q12_cosine_topk": Q12_SQL,
     "q13_interval_islands": Q13_SQL,
+    "q14_image_extract": Q14_SQL,
     "q15_ann_ivf": Q15_SQL,
     "q16_dedup_clusters": Q16_SQL,
     "q17_ngram_jaccard": Q17_SQL,
