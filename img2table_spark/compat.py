@@ -162,14 +162,24 @@ class Image:
 
 class PDF:
     """reference: document/pdf.py (vector-native path; scanned pages fall
-    back to the raster pipeline)."""
+    back to the raster pipeline — true 200-DPI page composition).
+
+    Matches the reference's conventions: ``pages`` is sorted in the
+    constructor (Document.__post_init__) and the result dict is keyed by the
+    ORDINAL index of the rendered pages (pages=[1] → key 0), so a drop-in
+    caller's ``extract_tables()[0]`` and xlsx sheet names line up."""
 
     def __init__(self, src, pages: list[int] | None = None, detect_rotation: bool = False):
         if pages is not None:
             if not isinstance(pages, list) or not all(isinstance(p, int) for p in pages):
                 raise TypeError(f"Invalid type {type(pages)} for pages argument")
+        if detect_rotation:
+            raise NotImplementedError(
+                "detect_rotation on PDFs requires page rendering with glyphs; "
+                "not supported by the vector-native path"
+            )
         self.bytes = _read_src(src)
-        self.pages = pages
+        self.pages = sorted(pages) if pages is not None else None
 
     def extract_tables(
         self,
@@ -179,17 +189,48 @@ class PDF:
         borderless_tables: bool = False,
         min_confidence: int = 50,
     ) -> dict[int, list[ExtractedTable]]:
-        all_pages = extract_pdf_tables_from_bytes(
-            self.bytes,
-            implicit_rows=implicit_rows,
-            implicit_columns=implicit_columns,
-            min_confidence=min_confidence,
+        from img2table_spark.kernels.pdf_doc import extract_scanned_pdf_tables
+        from img2table_spark.kernels.pdf_native import PdfDocument, interpret_page
+
+        doc = PdfDocument(self.bytes)
+        n = len(doc.pages())
+        req = self.pages if self.pages is not None else list(range(n))
+        req = [p for p in req if 0 <= p < n]
+        has_text = any(
+            len(interpret_page(doc, doc.pages()[p])[0]) > 0 for p in req
         )
-        page_ids = self.pages if self.pages is not None else range(len(all_pages))
+        if has_text:
+            # text-layer present: the reference ignores a user-passed `ocr`
+            # here too (PdfOCR wins, document/pdf.py get_table_content)
+            if borderless_tables:
+                raise NotImplementedError(
+                    "borderless_tables on text-layer PDFs requires glyph "
+                    "rasterization; supported only for scanned pages"
+                )
+            per_page = extract_pdf_tables_from_bytes(
+                self.bytes,
+                pages=req,
+                implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+                min_confidence=min_confidence,
+            )
+        else:
+            words_by_page = (
+                {p: ocr.words_for_page(i) for i, p in enumerate(req)}
+                if ocr is not None
+                else None
+            )
+            per_page = extract_scanned_pdf_tables(
+                self.bytes,
+                pages=req,
+                implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+                borderless_tables=borderless_tables,
+                min_confidence=min_confidence,
+                words_by_page=words_by_page,
+            )
         return {
-            p: [ExtractedTable(tb) for tb in all_pages[p]]
-            for p in page_ids
-            if 0 <= p < len(all_pages)
+            i: [ExtractedTable(tb) for tb in tbls] for i, tbls in enumerate(per_page)
         }
 
     def to_xlsx(self, dest, **kwargs):

@@ -41,6 +41,7 @@ from img2table_spark.kernels.pdf_native import (
     PdfError,
     PdfRect,
     interpret_page,
+    interpret_page_full,
 )
 from img2table_spark.kernels.tables import get_tables, merge_consecutive_tables
 from img2table_spark.kernels.text import WORD_COLUMNS, get_text_cell, table_get_content
@@ -335,11 +336,17 @@ def extract_pdf_tables_from_bytes(
     implicit_rows: bool = False,
     implicit_columns: bool = False,
     min_confidence: int = 50,
+    pages: list[int] | None = None,
 ) -> list[list[Table]]:
-    """PDF bytes → per-page content-filled tables (vector-native path)."""
+    """PDF bytes → per-page content-filled tables (vector-native path).
+    ``pages`` restricts work to those 0-based page indices; the output list
+    then holds only the requested pages, in ascending page order (reference
+    sorts pages in Document.__post_init__ and keys results ordinally)."""
     doc = PdfDocument(data)
     out: list[list[Table]] = []
     for page_idx, page in enumerate(doc.pages()):
+        if pages is not None and page_idx not in pages:
+            continue
         media = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
         page_w = media[2] - media[0]
         page_h = media[3] - media[1]
@@ -455,55 +462,132 @@ def _decode_xobject_image(doc: PdfDocument, xobj) -> "np.ndarray | None":
     return None
 
 
+_MAX_CANVAS_PX = 64_000_000  # ~A0 at 200 DPI; guards hostile MediaBoxes
+
+
+def _draw_affine_image(canvas: np.ndarray, img: np.ndarray, ctm, media) -> None:
+    """Paint an image XObject onto the 200-DPI page canvas through its CTM
+    (unit square → user space), nearest-neighbor inverse mapping. Handles
+    tiling, scaling and rotation — the general case pdfium renders."""
+    a, b, c, d, e, f = (float(v) for v in ctm)
+    det = a * d - b * c
+    if abs(det) < 1e-12:
+        return
+    ch, cw = canvas.shape[:2]
+    # unit-square corners → canvas pixels (y flipped: PDF origin bottom-left)
+    us = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    xs = (a * us[:, 0] + c * us[:, 1] + e - media[0]) * SCALE
+    ys = ch - (b * us[:, 0] + d * us[:, 1] + f - media[1]) * SCALE
+    x0 = max(0, int(np.floor(xs.min())))
+    x1 = min(cw, int(np.ceil(xs.max())))
+    y0 = max(0, int(np.floor(ys.min())))
+    y1 = min(ch, int(np.ceil(ys.max())))
+    if x0 >= x1 or y0 >= y1:
+        return
+    # target pixel centers → user space → unit square (inverse affine)
+    px = (np.arange(x0, x1) + 0.5) / SCALE + media[0]
+    py = (ch - (np.arange(y0, y1) + 0.5)) / SCALE + media[1]
+    X, Y = np.meshgrid(px - e, py - f)
+    u = (d * X - c * Y) / det
+    v = (-b * X + a * Y) / det
+    ih, iw = img.shape[:2]
+    inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    src_c = np.clip(np.floor(u * iw).astype(np.int64), 0, iw - 1)
+    src_r = np.clip(np.floor((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
+    region = canvas[y0:y1, x0:x1]
+    region[inside] = img[src_r, src_c][inside]
+
+
+def _draw_vector_rects(canvas: np.ndarray, rects: list[PdfRect], media) -> None:
+    """Paint vector geometry (table borders drawn OVER a scan on mixed
+    pages): dark fills as solid boxes, strokes as thickened outlines."""
+    ch, cw = canvas.shape[:2]
+
+    def to_px(r):
+        x1 = int(round((r.x1 - media[0]) * SCALE))
+        x2 = int(round((r.x2 - media[0]) * SCALE))
+        y1 = int(round(ch - (r.y2 - media[1]) * SCALE))  # top
+        y2 = int(round(ch - (r.y1 - media[1]) * SCALE))  # bottom
+        return max(0, x1), max(0, y1), min(cw, x2), min(ch, y2)
+
+    for r in rects:
+        x1, y1, x2, y2 = to_px(r)
+        if x1 >= cw or y1 >= ch or x2 <= 0 or y2 <= 0:
+            continue
+        if r.stroke_width > 0:
+            t = max(1, int(round(r.stroke_width * SCALE)))
+            if x2 - x1 <= t or y2 - y1 <= t:  # segment: thicken across axis
+                canvas[y1 : max(y2, y1 + t), x1 : max(x2, x1 + t)] = 0
+            else:  # stroked rect: outline only, never fill the interior
+                canvas[y1 : y1 + t, x1:x2] = 0
+                canvas[max(y1, y2 - t) : y2, x1:x2] = 0
+                canvas[y1:y2, x1 : x1 + t] = 0
+                canvas[y1:y2, max(x1, x2 - t) : x2] = 0
+        elif not r.fill_white:
+            canvas[y1:y2, x1:x2] = 0
+
+
+def rasterize_pdf_page(doc: PdfDocument, page: dict) -> "np.ndarray | None":
+    """Compose a true 200-DPI page canvas: every image XObject drawn through
+    the CTM active at its ``Do`` (tiled scans compose correctly), then vector
+    rects/segments on top. Returns None when the page places no decodable
+    image (pure-vector pages use the native path instead).
+
+    reference: document/pdf.py:46-67 renders whole pages via pdfium at
+    scale=200/72; this is the from-scratch equivalent for scanned pages."""
+    media = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
+    cw = int(round((media[2] - media[0]) * SCALE))
+    ch = int(round((media[3] - media[1]) * SCALE))
+    if cw <= 0 or ch <= 0 or cw * ch > _MAX_CANVAS_PX:
+        return None
+    _, rects, placements = interpret_page_full(doc, page)
+    canvas = None
+    for ref, ctm in placements:
+        img = _decode_xobject_image(doc, ref)
+        if img is None:
+            continue
+        if canvas is None:
+            canvas = np.full((ch, cw, 3), 255, dtype=np.uint8)
+        _draw_affine_image(canvas, img, ctm, media)
+    if canvas is not None and rects:
+        _draw_vector_rects(canvas, rects, media)
+    return canvas
+
+
 def extract_scanned_pdf_tables(
     data: bytes,
     implicit_rows: bool = False,
     implicit_columns: bool = False,
     borderless_tables: bool = False,
     min_confidence: int = 50,
+    pages: list[int] | None = None,
+    words_by_page: "dict[int, pd.DataFrame] | None" = None,
 ) -> list[list["Table"]]:
-    """Raster path for image-only PDF pages: decode the page's largest image
-    XObject and run the full pixel pipeline (geometry only — scans have no
-    native text; plug an OCR word table for content). Output bboxes are in
-    the reference's 200-DPI page space (image coords rescaled)."""
+    """Raster path for image-only PDF pages: compose the page's image
+    XObjects (plus vector overlays) onto a 200-DPI canvas via their CTMs and
+    run the full pixel pipeline. Output bboxes are directly in the
+    reference's 200-DPI page space. Scans have no native text; pass OCR
+    words (200-DPI page coordinates, keyed by 0-based page index) through
+    ``words_by_page`` for content."""
     from img2table_spark.kernels.document import extract_image_tables
 
     doc = PdfDocument(data)
     out = []
-    for page in doc.pages():
-        media = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
-        page_w_px = (media[2] - media[0]) * SCALE
-        page_h_px = (media[3] - media[1]) * SCALE
-        resources = doc.resolve(page.get("Resources")) or {}
-        xobjects = doc.resolve(resources.get("XObject")) or {}
-        best = None
-        for _, ref in xobjects.items():
-            img = _decode_xobject_image(doc, ref)
-            if img is not None and (best is None or img.size > best.size):
-                best = img
-        if best is None:
+    for page_idx, page in enumerate(doc.pages()):
+        if pages is not None and page_idx not in pages:
+            continue
+        canvas = rasterize_pdf_page(doc, page)
+        if canvas is None:
             out.append([])
             continue
+        words = (words_by_page or {}).get(page_idx)
         tables = extract_image_tables(
-            best,
+            canvas,
+            words=words,
             implicit_rows=implicit_rows,
             implicit_columns=implicit_columns,
             borderless_tables=borderless_tables,
             min_confidence=min_confidence,
         )
-        # rescale table coordinates from image space to 200-DPI page space
-        sy = page_h_px / best.shape[0]
-        sx = page_w_px / best.shape[1]
-        for tb in tables:
-            seen = set()
-            for row in tb.rows:
-                for c in row:
-                    if id(c) in seen:
-                        continue
-                    seen.add(id(c))
-                    c.x1 = int(round(c.x1 * sx))
-                    c.x2 = int(round(c.x2 * sx))
-                    c.y1 = int(round(c.y1 * sy))
-                    c.y2 = int(round(c.y2 * sy))
         out.append(tables)
     return out

@@ -483,13 +483,41 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 def interpret_page(doc: PdfDocument, page: dict) -> tuple[list[PdfChar], list[PdfRect]]:
     """Run text + path operators; return chars and axis-aligned rect/segment
     geometry in PDF point space."""
-    fonts = load_fonts(doc, page.get("Resources"))
-    content = doc.page_content(page)
+    chars, rects, _ = interpret_page_full(doc, page)
+    return chars, rects
 
+
+def interpret_page_full(
+    doc: PdfDocument, page: dict
+) -> tuple[list[PdfChar], list[PdfRect], list[tuple]]:
+    """interpret_page plus image placements: every image-XObject ``Do`` is
+    recorded as (xobject, ctm-at-Do) so a rasterizer can compose tiled or
+    transformed scans onto a page canvas (reference renders whole pages via
+    pdfium, document/pdf.py:46-67). Form XObjects are recursed into with
+    their Matrix composed."""
     chars: list[PdfChar] = []
     rects: list[PdfRect] = []
+    placements: list[tuple] = []
+    _interpret_content(
+        doc, doc.page_content(page), page.get("Resources"),
+        chars, rects, placements, _ID, 0,
+    )
+    return chars, rects, placements
 
-    ctm = _ID
+
+def _interpret_content(
+    doc: PdfDocument,
+    content: bytes,
+    resources,
+    chars: list[PdfChar],
+    rects: list[PdfRect],
+    placements: list[tuple],
+    init_ctm: tuple,
+    depth: int,
+) -> None:
+    fonts = load_fonts(doc, resources)
+
+    ctm = init_ctm
     stack: list[tuple] = []
     tm = _ID
     tlm = _ID
@@ -723,7 +751,31 @@ def interpret_page(doc: PdfDocument, page: dict) -> tuple[list[PdfChar], list[Pd
                 paint_path(stroked=True, filled=True)
             elif op == "n":
                 path.clear()
+            elif op == "Do" and operands:
+                name = str(operands[-1])
+                res = doc.resolve(resources) or {}
+                xobjs = doc.resolve(res.get("XObject")) or {}
+                ref = xobjs.get(name)
+                xo = doc.resolve(ref)
+                if isinstance(xo, tuple) and xo[0] == "stream":
+                    d = xo[1]
+                    subtype = str(doc.resolve(d.get("Subtype", "")))
+                    if subtype == "Image":
+                        placements.append((ref, ctm))
+                    elif subtype == "Form" and depth < 8:
+                        mat = doc.resolve(d.get("Matrix"))
+                        inner = (
+                            _mat_mul(tuple(float(doc.resolve(v)) for v in mat), ctm)
+                            if mat
+                            else ctm
+                        )
+                        try:
+                            _interpret_content(
+                                doc, doc.stream_bytes(xo),
+                                d.get("Resources") or resources,
+                                chars, rects, placements, inner, depth + 1,
+                            )
+                        except PdfError:
+                            pass  # undecodable form: skip, keep the page
         finally:
             operands.clear()
-
-    return chars, rects

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from img2table_spark.operators.extract import extract_tables
@@ -46,8 +47,9 @@ def run_pipeline(
     df = transcripts.withColumn("bucket", bucket_col(n_buckets))
 
     committed = read_committed(checkpoint_dir)
-    # lineage guard: manifests from a different input must not be trusted —
-    # silently skipping buckets of a new dataset would lose data
+    # lineage guards: manifests from a different input OR a different bucket
+    # count must not be trusted — silently skipping bucket ids that now map
+    # to different conv_id sets would lose or duplicate data
     if input_path is not None:
         foreign = {
             b: m["input_path"]
@@ -61,6 +63,19 @@ def run_pipeline(
                 f"input (bucket {b}: {other!r} != {input_path!r}); use a fresh "
                 "checkpoint dir or clear the stale manifests"
             )
+    wrong_n = {
+        b: m["n_buckets"]
+        for b, m in committed.items()
+        if m.get("n_buckets") not in (None, n_buckets)
+    }
+    if wrong_n:
+        b, other = next(iter(wrong_n.items()))
+        raise ValueError(
+            f"checkpoint dir {checkpoint_dir} holds manifests for n_buckets="
+            f"{other} (bucket {b}), but this run uses n_buckets={n_buckets}; "
+            "bucket ids would map to different conv_id sets — use a fresh "
+            "checkpoint dir or rerun with the original n_buckets"
+        )
     todo = [b for b in range(n_buckets) if b not in committed]
     waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
     if max_waves is not None:
@@ -86,9 +101,11 @@ def run_pipeline(
             for r in sub.groupBy("bucket")
             .agg(
                 F.count("*").alias("n_turns"),
+                # lowercase first: extract_payload normalizes tool the same
+                # way, so 'TEXT/HTML' turns count as payload turns here too
                 F.sum(
-                    (F.col("tool").isin("text/html", "html", "application/pdf", "pdf")
-                     | F.col("tool").startswith("image/")).cast("long")
+                    (F.lower("tool").isin("text/html", "html", "application/pdf", "pdf")
+                     | F.lower("tool").startswith("image/")).cast("long")
                 ).alias("n_payload_turns"),
             )
             .collect()
@@ -107,7 +124,10 @@ def run_pipeline(
 
         # Post-commit metrics from the durably-written output (re-reading the
         # columnar sink verifies what is actually on disk), plus error counts
-        # from the cached marker rows.
+        # from the cached marker rows. Only a MISSING output path (all-negative
+        # wave: nothing written yet) maps to zero metrics — any other failure
+        # must fail the wave BEFORE manifests are written, otherwise manifests
+        # would durably record n_tables=0/checksum=0 for data that is on disk.
         try:
             written = spark.read.parquet(output_dir).filter(F.col("bucket").isin(wave))
             out_stats = {
@@ -133,8 +153,9 @@ def run_pipeline(
                 )
                 .collect()
             }
-        except Exception:
-            # nothing durably written yet (all-negative wave) → zero metrics
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             out_stats = {}
         err_stats = {
             int(r["bucket"]): r["n_errors"]
@@ -155,6 +176,7 @@ def run_pipeline(
                 b,
                 {
                     "input_path": input_path,
+                    "n_buckets": n_buckets,
                     "app_id": spark.sparkContext.applicationId,
                     "wave": wave_idx,
                     "n_turns": int(ins["n_turns"]) if ins else 0,

@@ -97,3 +97,18 @@ def test_pdf_tables(ref_tests):
     # pages selection (oracle: test_pdf.py:44-46)
     only0 = PDF(src=str(ref_tests / "document/pdf/test_data/test.pdf"), pages=[0])
     assert list(only0.extract_tables(implicit_rows=True).keys()) == [0]
+
+    # reference keys the result dict by ORDINAL of rendered pages: pages=[1]
+    # → key 0, holding page 1's tables
+    only1 = PDF(src=str(ref_tests / "document/pdf/test_data/test.pdf"), pages=[1])
+    r1 = only1.extract_tables(implicit_rows=True)
+    assert list(r1.keys()) == [0]
+    assert r1[0][0].title == "Example of Data Table 3"
+
+    # loud (not silent) parity gaps
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        pdf.extract_tables(borderless_tables=True)
+    with _pytest.raises(NotImplementedError):
+        PDF(src=str(ref_tests / "document/pdf/test_data/test.pdf"), detect_rotation=True)

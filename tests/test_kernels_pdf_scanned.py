@@ -14,42 +14,40 @@ from img2table_spark.kernels.pdf_doc import (
 from img2table_spark.kernels.png import decode_png
 
 
-def _build_scanned_pdf(img) -> bytes:
-    """Minimal one-page PDF whose content is a single RGB bitmap XObject.
-    Page size is chosen so the 200-DPI page space equals image pixels."""
-    h_px, w_px, _ = img.shape
-    page_w = w_px * 72 / 200
-    page_h = h_px * 72 / 200
-    img_stream = zlib.compress(img.tobytes())
-
+def _build_pdf(page_w: float, page_h: float, images: list, content: bytes) -> bytes:
+    """Minimal one-page PDF: `images` is a list of RGB arrays registered as
+    /Im1.. /ImN; `content` places them."""
     objs: list[bytes] = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    xobj_entries = " ".join(f"/Im{i + 1} {4 + i} 0 R" for i in range(len(images)))
     objs.append(
         f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:.4f} {page_h:.4f}] "
-        f"/Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>".encode()
+        f"/Resources << /XObject << {xobj_entries} >> >> "
+        f"/Contents {4 + len(images)} 0 R >>".encode()
     )
-    content = f"q {page_w:.4f} 0 0 {page_h:.4f} 0 0 cm /Im1 Do Q".encode()
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):
         offsets.append(len(out))
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
-    # image xobject (4) and content stream (5)
+    for i, img in enumerate(images):
+        h_px, w_px, _ = img.shape
+        img_stream = zlib.compress(img.tobytes())
+        offsets.append(len(out))
+        out += (
+            f"{4 + i} 0 obj\n<< /Type /XObject /Subtype /Image /Width {w_px} "
+            f"/Height {h_px} /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter /FlateDecode /Length {len(img_stream)} >>\nstream\n".encode()
+        )
+        out += img_stream + b"\nendstream\nendobj\n"
     offsets.append(len(out))
-    out += (
-        f"4 0 obj\n<< /Type /XObject /Subtype /Image /Width {w_px} /Height {h_px} "
-        f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
-        f"/Length {len(img_stream)} >>\nstream\n".encode()
-    )
-    out += img_stream + b"\nendstream\nendobj\n"
-    offsets.append(len(out))
-    out += f"5 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+    out += f"{4 + len(images)} 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
     out += content + b"\nendstream\nendobj\n"
 
     xref_pos = len(out)
-    n = 6
+    n = 5 + len(images)
     out += f"xref\n0 {n}\n".encode()
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
@@ -58,6 +56,43 @@ def _build_scanned_pdf(img) -> bytes:
         f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF".encode()
     )
     return bytes(out)
+
+
+def _build_scanned_pdf(img) -> bytes:
+    """One full-page RGB bitmap XObject; page size chosen so the 200-DPI
+    page space equals image pixels."""
+    h_px, w_px, _ = img.shape
+    page_w = w_px * 72 / 200
+    page_h = h_px * 72 / 200
+    content = f"q {page_w:.4f} 0 0 {page_h:.4f} 0 0 cm /Im1 Do Q".encode()
+    return _build_pdf(page_w, page_h, [img], content)
+
+
+def _build_tiled_scanned_pdf(img) -> bytes:
+    """The same scan split into 2x2 tiles, each placed by its own CTM — the
+    shape that defeats a largest-XObject heuristic and requires true page
+    composition (VERDICT round 1, next #9)."""
+    h_px, w_px, _ = img.shape
+    page_w = w_px * 72 / 200
+    page_h = h_px * 72 / 200
+    rm, cm = h_px // 2, w_px // 2
+    tiles = [
+        img[:rm, :cm], img[:rm, cm:],  # top-left, top-right
+        img[rm:, :cm], img[rm:, cm:],  # bottom-left, bottom-right
+    ]
+    k = 72 / 200  # px → pt
+    w_l, w_r = cm * k, (w_px - cm) * k
+    h_t, h_b = rm * k, (h_px - rm) * k
+    # PDF origin is bottom-left: top tiles sit at y = h_b
+    place = [
+        (1, w_l, h_t, 0.0, h_b), (2, w_r, h_t, w_l, h_b),
+        (3, w_l, h_b, 0.0, 0.0), (4, w_r, h_b, w_l, 0.0),
+    ]
+    content = b" ".join(
+        f"q {w:.4f} 0 0 {h:.4f} {x:.4f} {y:.4f} cm /Im{i} Do Q".encode()
+        for i, w, h, x, y in place
+    )
+    return _build_pdf(page_w, page_h, tiles, content)
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +109,19 @@ def test_scanned_pdf_raster_path(scanned_pdf):
         ((tb.x1, tb.y1, tb.x2, tb.y2), (tb.nb_rows, tb.nb_columns)) for tb in pages[0]
     )
     # golden: the embedded image's own reference expectations
+    assert got == [((36, 21, 770, 327), (6, 3)), ((962, 21, 1154, 123), (2, 2))]
+
+
+def test_tiled_scanned_pdf_composes_page(ref_tests):
+    """A scan split into 4 tile XObjects placed via CTMs must extract the
+    same golden tables as the single full-page scan."""
+    with open(ref_tests / "tables/image/test_data/test.png", "rb") as f:
+        img = decode_png(f.read())
+    pages = extract_scanned_pdf_tables(_build_tiled_scanned_pdf(img), implicit_rows=True)
+    assert len(pages) == 1
+    got = sorted(
+        ((tb.x1, tb.y1, tb.x2, tb.y2), (tb.nb_rows, tb.nb_columns)) for tb in pages[0]
+    )
     assert got == [((36, 21, 770, 327), (6, 3)), ((962, 21, 1154, 123), (2, 2))]
 
 
