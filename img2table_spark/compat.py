@@ -30,10 +30,8 @@ import pandas as pd
 from img2table_spark.kernels.document import extract_image_tables
 from img2table_spark.kernels.hocr import parse_hocr_pages
 from img2table_spark.kernels.html_io import extracted_table_html
-from img2table_spark.kernels.jpeg import decode_jpeg
 from img2table_spark.kernels.objects import Table
 from img2table_spark.kernels.pdf_doc import extract_pdf_tables_from_bytes
-from img2table_spark.kernels.png import decode_png
 from img2table_spark.kernels.xlsx import tables_to_xlsx_bytes
 
 
@@ -125,9 +123,9 @@ class Image:
 
     @property
     def images(self):
-        data = self.bytes
-        img = decode_jpeg(data) if data[:2] == b"\xff\xd8" else decode_png(data)
-        return [img]
+        from img2table_spark.kernels.image_doc import decode_image_bytes
+
+        return [decode_image_bytes(self.bytes)]
 
     def extract_tables(
         self,

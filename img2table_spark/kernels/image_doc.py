@@ -20,6 +20,34 @@ import json
 from img2table_spark.kernels.objects import Table
 
 
+class ImageDecodeError(ValueError):
+    pass
+
+
+def decode_image_bytes(data: bytes):
+    """Magic-sniffing decode: PNG / JPEG (baseline + progressive) / BMP /
+    TIFF → RGB uint8 array. The reference accepts anything cv2.imdecode
+    reads (reference document/image.py:25-32); these cover its README input
+    list minus WebP/GIF (rejected loudly)."""
+    from img2table_spark.kernels.bmp import BMPError, decode_bmp
+    from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
+    from img2table_spark.kernels.png import PNGError, decode_png
+    from img2table_spark.kernels.tiff import TIFFError, decode_tiff
+
+    try:
+        if data[:2] == b"\xff\xd8":
+            return decode_jpeg(data)
+        if data[:2] == b"BM":
+            return decode_bmp(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff(data)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(data)
+    except (PNGError, JPEGError, BMPError, TIFFError) as exc:
+        raise ImageDecodeError(str(exc)) from exc
+    raise ImageDecodeError(f"unrecognized image magic {data[:8]!r}")
+
+
 def extract_image_payload(text: str) -> list[Table]:
     from img2table_spark.operators.extract import PayloadError
 
@@ -46,15 +74,10 @@ def extract_image_payload(text: str) -> list[Table]:
 
     from img2table_spark.kernels.document import extract_image_tables
     from img2table_spark.kernels.hocr import parse_hocr_pages
-    from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
-    from img2table_spark.kernels.png import PNGError, decode_png
 
     try:
-        if data[:2] == b"\xff\xd8":
-            img = decode_jpeg(data)
-        else:
-            img = decode_png(data)
-    except (PNGError, JPEGError) as exc:
+        img = decode_image_bytes(data)
+    except ImageDecodeError as exc:
         raise PayloadError(f"undecodable image payload: {exc}") from exc
 
     words = parse_hocr_pages([hocr]) if hocr else None

@@ -1,0 +1,216 @@
+"""Pure-stdlib baseline TIFF decoder (S1 image decode path).
+
+TIFF is the scanned-document interchange format; the reference accepts it
+via cv2.imdecode (reference document/image.py:25-32, README input list).
+Supported: both byte orders, strip-based baseline TIFF — bilevel (1-bit),
+grayscale (8-bit, WhiteIsZero/BlackIsZero), palette, RGB(A); Compression
+none(1) / LZW(5, with early-change and horizontal predictor) / deflate
+(8/32946) / PackBits(32773). Tiled TIFF and JPEG-in-TIFF are rejected
+loudly — they don't occur in scanner output at baseline conformance.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class TIFFError(ValueError):
+    pass
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _read_ifd(data: bytes, off: int, eb: str) -> dict[int, list[int]]:
+    (n,) = struct.unpack_from(eb + "H", data, off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        p = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(eb + "HHI", data, p)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            vo = p + 8
+        else:
+            (vo,) = struct.unpack_from(eb + "I", data, p + 8)
+        if typ == 3:
+            vals = list(struct.unpack_from(eb + f"{cnt}H", data, vo))
+        elif typ == 4:
+            vals = list(struct.unpack_from(eb + f"{cnt}I", data, vo))
+        elif typ == 1:
+            vals = list(data[vo : vo + cnt])
+        elif typ == 5:
+            vals = [
+                struct.unpack_from(eb + "II", data, vo + 8 * k)[0] for k in range(cnt)
+            ]
+        else:
+            continue
+        tags[tag] = vals
+    return tags
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, ClearCode=256, EOI=257,
+    EARLY code-width change (width bumps when next code == 2^w - 1)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise TIFFError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            # EARLY change: the decoder's table lags the encoder's by one
+            # entry, so it widens at 2^w - 2 where the encoder widens at
+            # 2^w - 1 (libtiff tif_lzw.c uses MAXCODE(bits)-1 the same way)
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - b)
+                i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes → RGB uint8 (H, W, 3). First IFD only (page 1)."""
+    if data[:4] == b"II*\x00":
+        eb = "<"
+    elif data[:4] == b"MM\x00*":
+        eb = ">"
+    else:
+        raise TIFFError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(eb + "I", data, 4)
+    tags = _read_ifd(data, ifd_off, eb)
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise TIFFError("missing dimensions")
+    bps = tags.get(258, [1])
+    spp = one(277, 1)
+    photo = one(262, 1)
+    comp = one(259, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if one(322) or one(323):
+        raise TIFFError("tiled TIFF unsupported")
+    if planar != 1:
+        raise TIFFError("planar TIFF unsupported")
+    if offsets is None:
+        raise TIFFError("missing strips")
+    if counts is None:
+        counts = [len(data) - offsets[0]]
+    if any(b not in (1, 8) for b in bps[:spp]):
+        raise TIFFError(f"unsupported BitsPerSample {bps}")
+    bit1 = bps[0] == 1 and spp == 1
+
+    decomp = {
+        1: lambda b: b,
+        5: _lzw_decode,
+        8: zlib.decompress,
+        32946: zlib.decompress,
+        32773: _packbits_decode,
+    }.get(comp)
+    if decomp is None:
+        raise TIFFError(f"unsupported TIFF compression {comp}")
+
+    row_bytes = (w * bps[0] * spp + 7) // 8 if bit1 else w * spp
+    raw = bytearray()
+    remaining = h
+    for so, sc in zip(offsets, counts):
+        strip = decomp(data[so : so + sc])
+        nrows = min(rows_per_strip, remaining)
+        strip = strip[: nrows * row_bytes]
+        if predictor == 2 and not bit1:
+            a = np.frombuffer(strip, dtype=np.uint8).copy()
+            usable = (len(a) // row_bytes) * row_bytes
+            m = a[:usable].reshape(-1, row_bytes // spp, spp) if spp > 1 else a[
+                :usable
+            ].reshape(-1, row_bytes, 1)
+            np.cumsum(m, axis=1, dtype=np.uint8, out=m)
+            strip = m.tobytes()
+        raw += strip
+        remaining -= nrows
+    need = h * row_bytes
+    if len(raw) < need:
+        raise TIFFError("truncated strip data")
+    arr = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(h, row_bytes)
+
+    if bit1:
+        bits = np.unpackbits(arr, axis=1)[:, :w]
+        if photo == 0:  # WhiteIsZero: 0 = white
+            g = np.where(bits == 0, 255, 0).astype(np.uint8)
+        else:
+            g = np.where(bits == 0, 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+
+    px = arr.reshape(h, w, spp)
+    if photo == 3:  # palette: ColorMap is 3*2^bps 16-bit values
+        cmap = tags.get(320)
+        if not cmap:
+            raise TIFFError("palette TIFF without ColorMap")
+        n = len(cmap) // 3
+        pal = (np.array(cmap, dtype=np.uint32).reshape(3, n).T // 257).astype(np.uint8)
+        idx = np.clip(px[:, :, 0], 0, n - 1)
+        return np.ascontiguousarray(pal[idx])
+    if spp == 1:
+        g = px[:, :, 0]
+        if photo == 0:
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if spp >= 3:
+        return np.ascontiguousarray(px[:, :, :3])
+    raise TIFFError(f"unsupported SamplesPerPixel {spp}")
