@@ -1,0 +1,395 @@
+"""Minimal image ENCODERS — synthetic-fixture generators only.
+
+The decode path (png/jpeg/bmp/tiff kernels) is the product; these encoders
+exist so tests and the q14 driver corpus can synthesize payloads in formats
+the container has no tools for (no PIL/cv2). They are written independently
+of the decoders from the format specs, so round-trip equality is a real
+two-sided check (e.g. the TIFF-LZW early-change bug was caught this way).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from img2table_spark.kernels.jpeg import _C, ZIGZAG
+
+
+# ----------------------------------------------------------------------- BMP
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def encode_bmp8_gray_topdown(img: np.ndarray) -> bytes:
+    g = img[:, :, 0]
+    h, w = g.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = g  # top-down (negative height)
+    pix = rows.tobytes()
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    off = 54 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, len(pix), 2835, 2835, 256, 0)
+    return header + info + pal + pix
+
+
+# ---------------------------------------------------------------------- TIFF
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor (early change: width bumps when the next
+    free code reaches 2^w - 1)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128 and not (j + 1 < n and data[j] == data[j + 1]):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1,
+                rows_per_strip: int | None = None) -> bytes:
+    """RGB array → little-endian strip-based TIFF."""
+    h, w, _ = img.shape
+    rows_per_strip = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        block = img[y0 : y0 + rows_per_strip].astype(np.uint8)
+        if predictor == 2:
+            block = block.astype(np.int16)
+            block[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+            block = (block % 256).astype(np.uint8)
+        raw = block.tobytes()
+        if compression == 5:
+            raw = tiff_lzw_encode(raw)
+        elif compression == 8:
+            raw = zlib.compress(raw)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
+
+    n_strips = len(strips)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None), (259, 3, 1, compression),
+        (262, 3, 1, 2), (273, 4, n_strips, None), (277, 3, 1, 3),
+        (278, 3, 1, rows_per_strip), (279, 4, n_strips, None), (284, 3, 1, 1),
+        (317, 3, 1, predictor),
+    ]
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+
+    def alloc(vals, fmt):
+        off = extra_base + len(extra)
+        extra.extend(struct.pack("<" + fmt * len(vals), *vals))
+        return off
+
+    bps_off = alloc([8, 8, 8], "H")
+    strip_data_base = extra_base + len(extra) + (4 * n_strips * 2 if n_strips > 1 else 0)
+    offsets = []
+    pos = strip_data_base
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    counts = [len(s) for s in strips]
+    if n_strips > 1:
+        off_off = alloc(offsets, "I")
+        cnt_off = alloc(counts, "I")
+    else:
+        off_off, cnt_off = offsets[0], counts[0]
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if tag == 258:
+            val = bps_off
+        elif tag == 273:
+            val = off_off
+        elif tag == 279:
+            val = cnt_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+# --------------------------------------------------------- progressive JPEG
+
+class _BitWriter:
+    """MSB-first with 0xFF byte stuffing; flush pads with 1s (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.out)
+
+
+def _flat_huff(symbols: list[int]) -> tuple[bytes, dict[int, tuple[int, int]]]:
+    """All symbols at code length 8 (canonical, incomplete — legal). Returns
+    (DHT payload sans class/id byte, symbol → (code, length))."""
+    syms = sorted(set(symbols))
+    assert len(syms) <= 254, "flat table overflow"
+    counts = [0] * 16
+    counts[7] = len(syms)
+    enc = {s: (i, 8) for i, s in enumerate(syms)}
+    return bytes(counts) + bytes(syms), enc
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, appended bits) for a signed coefficient (T.81 F.1.2.1)."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def rgb_to_quantized_blocks(img: np.ndarray, qtable: np.ndarray):
+    """RGB → per-component zigzag-quantized coefficient arrays (no
+    subsampling, 8-bit, quality set by qtable)."""
+    h, w, _ = img.shape
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+    ]
+    bh, bw = -(-h // 8), -(-w // 8)
+    comps = []
+    for p in planes:
+        padded = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coeff = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True)
+        q = np.rint(coeff.reshape(-1, 64) / qtable[None, :]).astype(np.int32)
+        comps.append(q[:, ZIGZAG])  # natural → zigzag order
+    return comps, bw, bh
+
+
+def encode_jpeg_progressive(img: np.ndarray, qval: int = 2) -> bytes:
+    """RGB → progressive JPEG (SOF2), 3 components, no subsampling.
+
+    Scan script exercises all four progressive entropy modes:
+      1. DC first (interleaved, Al=1)   2. AC first per comp (Ss=1..63, Al=1)
+      3. DC refine (Al=0)               4. AC refine per comp (Ah=1, Al=0)
+    """
+    h, w, _ = img.shape
+    qtable = np.full(64, qval, dtype=np.int32)
+    comps, bw, bh = rgb_to_quantized_blocks(img, qtable)
+    nb = bw * bh
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(qtable[ZIGZAG].astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += struct.pack("BBB", cid, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def emit_dht(cls: int, tid: int, payload: bytes):
+        nonlocal out
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), (cls << 4) | tid) + payload
+
+    def emit_sos(scomps: list[tuple[int, int, int]], ss, se, ah, al, body: bytes):
+        nonlocal out
+        hdr = bytes([len(scomps)])
+        for cid, td, ta in scomps:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + body
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    dc_syms: list[int] = []
+    scans_dc: list[list[tuple[int, int, int]]] = []
+    for _pass in range(2):
+        wbits = _BitWriter()
+        preds = [0, 0, 0]
+        plan: list[tuple[int, int, int]] = []
+        for bi in range(nb):
+            for ci in range(3):
+                dc = int(comps[ci][bi][0]) >> 1  # arithmetic shift (Al=1)
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s, bits = _mag_bits(diff)
+                plan.append((s, bits, s))
+        if _pass == 0:
+            dc_syms = [p[0] for p in plan]
+            continue
+        payload, enc = _flat_huff(dc_syms)
+        emit_dht(0, 0, payload)
+        for s, bits, sz in plan:
+            code, ln = enc[s]
+            wbits.write(code, ln)
+            if sz:
+                wbits.write(bits, sz)
+        emit_sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1, wbits.flush())
+
+    # ---- scans 2-4: AC first per component, Ss=1..63, Al=1
+    for ci, cid in enumerate((1, 2, 3)):
+        events: list[tuple] = []  # ("sym", rs) | ("bits", v, n)
+        for bi in range(nb):
+            coef = comps[ci][bi]
+            band = [_trunc_shift(int(coef[k]), 1) for k in range(1, 64)]
+            r = 0
+            for v in band:
+                if v == 0:
+                    r += 1
+                    continue
+                while r >= 16:
+                    events.append(("sym", 0xF0))
+                    r -= 16
+                s, bits = _mag_bits(v)
+                events.append(("sym", (r << 4) | s))
+                events.append(("bits", bits, s))
+                r = 0
+            if r > 0:
+                events.append(("sym", 0x00))  # EOB (run of 1)
+        payload, enc = _flat_huff([e[1] for e in events if e[0] == "sym"])
+        emit_dht(1, 0, payload)  # table 0 redefined before each scan (legal)
+        wbits = _BitWriter()
+        for e in events:
+            if e[0] == "sym":
+                code, ln = enc[e[1]]
+                wbits.write(code, ln)
+            else:
+                wbits.write(e[1], e[2])
+        emit_sos([(cid, 0, 0)], 1, 63, 0, 1, wbits.flush())
+
+    # ---- scan 5: DC refine (Al=0)
+    wbits = _BitWriter()
+    for bi in range(nb):
+        for ci in range(3):
+            wbits.write(int(comps[ci][bi][0]) & 1, 1)
+    emit_sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0, wbits.flush())
+
+    # ---- scans 6-8: AC refine per component (Ah=1, Al=0),
+    #      per T.81 G.1.2.3 encoder (libjpeg encode_mcu_AC_refine shape)
+    for ci, cid in enumerate((1, 2, 3)):
+        events = []
+        for bi in range(nb):
+            coef = [int(v) for v in comps[ci][bi]]
+            absv = [abs(coef[k]) for k in range(1, 64)]
+            eob = -1
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eob = j
+            r = 0
+            br: list[int] = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eob:
+                    events.append(("sym", 0xF0))
+                    r -= 16
+                    events.extend(("bits", b2, 1) for b2 in br)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                events.append(("sym", (r << 4) | 1))
+                events.append(("bits", 1 if coef[j + 1] >= 0 else 0, 1))
+                events.extend(("bits", b2, 1) for b2 in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                events.append(("sym", 0x00))
+                events.extend(("bits", b2, 1) for b2 in br)
+        payload, enc = _flat_huff([e[1] for e in events if e[0] == "sym"])
+        emit_dht(1, 0, payload)
+        wbits = _BitWriter()
+        for e in events:
+            if e[0] == "sym":
+                code, ln = enc[e[1]]
+                wbits.write(code, ln)
+            else:
+                wbits.write(e[1], e[2])
+        emit_sos([(cid, 0, 0)], 1, 63, 1, 0, wbits.flush())
+
+    out += b"\xff\xd9"
+    return bytes(out)

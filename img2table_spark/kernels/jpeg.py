@@ -63,9 +63,12 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes → RGB uint8 (H, W, 3) (grayscale replicated)."""
+    """JPEG bytes → RGB uint8 (H, W, 3) (grayscale replicated). Baseline
+    (SOF0/1) and progressive (SOF2) Huffman DCT."""
     if data[:2] != b"\xff\xd8":
         raise JPEGError("not a JPEG")
+    if _sniff_sof(data) == 0xC2:
+        return _decode_progressive(data)
 
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
@@ -275,7 +278,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         out_blocks[ci][row * bw + col] = block
             mcu_done += 1
 
-    # dequantize + IDCT all blocks per component (vectorized)
+    return _reconstruct(comps, planes_coeff, qt, w, h, mcux, mcuy, hmax, vmax)
+
+
+def _reconstruct(comps, planes_coeff, qt, w, h, mcux, mcuy, hmax, vmax) -> np.ndarray:
+    """Zigzag coefficient planes → RGB: dequantize + IDCT (one einsum over
+    all blocks), fancy chroma upsampling, YCbCr→RGB. Shared by the baseline
+    and progressive paths."""
     planes = []
     for ci, c in enumerate(comps):
         bw = mcux * c["h"]
@@ -326,6 +335,316 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------ progressive (SOF2)
+
+def _sniff_sof(data: bytes) -> int | None:
+    """First SOF marker in the stream (header-only walk, no entropy data)."""
+    i = 2
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            return None
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return m
+        if m == 0xDA:  # SOS before SOF: malformed; let main parser complain
+            return None
+        i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    return None
+
+
+class _Bits:
+    """MSB-first bit reader over unstuffed entropy bytes (zero-padded at the
+    end, as libjpeg does for truncated streams)."""
+
+    __slots__ = ("d", "n_total", "pos", "acc", "n")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.n_total = len(d)
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            self.acc = (self.acc << 8) | (self.d[self.pos] if self.pos < self.n_total else 0)
+            self.pos += 1
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: "_Huff") -> int:
+        maxlen = table.maxlen
+        while self.n < maxlen:
+            self.acc = (self.acc << 8) | (self.d[self.pos] if self.pos < self.n_total else 0)
+            self.pos += 1
+            self.n += 8
+        idx = (self.acc >> (self.n - maxlen)) & ((1 << maxlen) - 1)
+        ln = int(table.lut_len[idx])
+        if ln == 0:
+            raise JPEGError("bad huffman code")
+        self.n -= ln
+        self.acc &= (1 << self.n) - 1
+        return int(table.lut_sym[idx])
+
+
+def _split_restarts(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded span from `start` to the next non-RST marker: unstuff
+    0xFF00 and split at RSTn. Returns (chunks, index of terminating marker)."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    j = start
+    n = len(data)
+    while j < n:
+        b = data[j]
+        if b != 0xFF:
+            cur.append(b)
+            j += 1
+            continue
+        nxt = data[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            j += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            j += 2
+            continue
+        break
+    chunks.append(bytes(cur))
+    return chunks, j
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG: coefficients accumulate over multiple scans with
+    spectral selection (Ss..Se) and successive approximation (Ah, Al);
+    the refinement algorithms follow ITU-T T.81 §G.1.2 (same semantics as
+    libjpeg jdphuff.c). Coefficients are stored in zigzag order and
+    reconstructed by the shared baseline tail."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None
+    comps = None
+    planes_coeff = None
+    geo = None  # (mcux, mcuy, hmax, vmax, per-comp block dims)
+
+    i = 2
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        length = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                    p += 65
+                else:
+                    qt[tq] = np.frombuffer(seg[p + 1 : p + 129], dtype=">u2").astype(np.int32)
+                    p += 129
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, seg[p + 17 : p + 17 + nsym])
+                p += 17 + nsym
+        elif marker == 0xC2:
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                hv = seg[7 + c * 3]
+                comps.append({"id": seg[6 + c * 3], "h": hv >> 4, "v": hv & 15, "tq": seg[8 + c * 3]})
+            frame = {"w": w, "h": h}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes_coeff = []
+            dims = []
+            for c in comps:
+                bw = mcux * c["h"]
+                bh = mcuy * c["v"]
+                planes_coeff.append(np.zeros((bh * bw, 64), dtype=np.int32))
+                # non-interleaved scans cover only ceil(comp_size/8) blocks
+                cw = -(-(w * c["h"]) // hmax)
+                chh = -(-(h * c["v"]) // vmax)
+                dims.append((bw, -(-cw // 8), -(-chh // 8)))
+            geo = (mcux, mcuy, hmax, vmax, dims)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JPEGError(f"mixed/unsupported SOF {hex(marker)} in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise JPEGError("SOS before SOF2")
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid = seg[1 + c * 2]
+                tt = seg[2 + c * 2]
+                ci = next(k for k, fc in enumerate(comps) if fc["id"] == cid)
+                scomps.append((ci, tt >> 4, tt & 15))
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ahl = seg[3 + ns * 2]
+            ah, al = ahl >> 4, ahl & 15
+            chunks, i = _split_restarts(data, i + 2 + length)
+            _decode_progressive_scan(
+                chunks, scomps, ss, se, ah, al, comps, geo,
+                huff_dc, huff_ac, planes_coeff, restart_interval,
+            )
+            continue
+        i += 2 + length
+
+    if frame is None or planes_coeff is None:
+        raise JPEGError("missing SOF2/SOS")
+    mcux, mcuy, hmax, vmax, _ = geo
+    return _reconstruct(
+        comps, planes_coeff, qt, frame["w"], frame["h"], mcux, mcuy, hmax, vmax
+    )
+
+
+def _decode_progressive_scan(
+    chunks, scomps, ss, se, ah, al, comps, geo, huff_dc, huff_ac,
+    planes_coeff, restart_interval,
+) -> None:
+    mcux, mcuy, hmax, vmax, dims = geo
+    dc_scan = ss == 0
+    p1 = 1 << al
+    m1 = -p1
+
+    # iteration order: interleaved (MCU) for multi-component DC scans,
+    # component raster order for single-component scans (T.81 §G.1)
+    if len(scomps) > 1:
+        units = []  # each unit = list of (ci, block_index)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, _, _ in scomps:
+                    c = comps[ci]
+                    bw = dims[ci][0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append((ci, (my * c["v"] + by) * bw + mx * c["h"] + bx))
+                units.append(blocks)
+    else:
+        ci = scomps[0][0]
+        bw, cwb, chb = dims[ci]
+        units = [[(ci, r * bw + col)] for r in range(chb) for col in range(cwb)]
+
+    chunk_iter = iter(chunks)
+    bits = _Bits(next(chunk_iter))
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    done = 0
+    for unit in units:
+        if restart_interval and done and done % restart_interval == 0:
+            nxt = next(chunk_iter, None)
+            if nxt is not None:
+                bits = _Bits(nxt)
+                dc_pred = [0] * len(comps)
+                eobrun = 0
+        for ci, bi in unit:
+            coef = planes_coeff[ci][bi]
+            if dc_scan:
+                tdc = next(t for c2, t, _ in scomps if c2 == ci)
+                if ah == 0:  # DC first
+                    t = bits.huff(huff_dc[tdc])
+                    diff = _extend(bits.read(t), t) if t else 0
+                    dc_pred[ci] += diff
+                    coef[0] = dc_pred[ci] << al
+                else:  # DC refine
+                    if bits.read(1):
+                        coef[0] = int(coef[0]) | p1
+            elif ah == 0:  # AC first
+                tac = scomps[0][2]
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.huff(huff_ac[tac])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.read(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        break
+                    coef[k] = _extend(bits.read(s), s) << al
+                    k += 1
+            else:  # AC refine (T.81 §G.1.2.3 / libjpeg decode_mcu_AC_refine)
+                tac = scomps[0][2]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = bits.huff(huff_ac[tac])
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.read(r)
+                                break
+                        else:
+                            val = p1 if bits.read(1) else m1
+                        while k <= se:
+                            cv = int(coef[k])
+                            if cv != 0:
+                                if bits.read(1) and (cv & p1) == 0:
+                                    coef[k] = cv + (p1 if cv >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cv = int(coef[k])
+                        if cv != 0:
+                            if bits.read(1) and (cv & p1) == 0:
+                                coef[k] = cv + (p1 if cv >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+        done += 1
 
 
 def _fancy_upsample_axis(p: np.ndarray, axis: int) -> np.ndarray:

@@ -985,6 +985,29 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         for i in range(8, 12):
             rows.append((f"pdfconv{i % 2}", i, "assistant", pdf_b64, "application/pdf", ts))
+        # non-PNG codec payloads: the same test image re-encoded as BMP,
+        # LZW-predictor TIFF, and progressive JPEG (SOF2) — certifies the
+        # bmp/tiff/progressive decoders in the driver's hard gate
+        from img2table_spark.kernels.encoders import (
+            encode_bmp24,
+            encode_jpeg_progressive,
+            encode_tiff,
+        )
+        from img2table_spark.kernels.png import decode_png
+
+        test_img = decode_png((ref / "tables/image/test_data/test.png").read_bytes())
+        for i, (payload, tool) in enumerate(
+            [
+                (encode_bmp24(test_img), "image/bmp"),
+                (encode_tiff(test_img, compression=5, predictor=2, rows_per_strip=64), "image/tiff"),
+                (encode_jpeg_progressive(test_img, qval=2), "image/jpeg"),
+            ],
+            start=12,
+        ):
+            rows.append(
+                (f"codecconv{i % 2}", i, "assistant",
+                 base64.b64encode(payload).decode(), tool, ts)
+            )
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     from img2table_spark.operators.extract import extract_cells_flat
 
