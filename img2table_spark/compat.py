@@ -100,6 +100,50 @@ class HocrOCR(WordTableOCR):
         super().__init__(parse_hocr_pages(hocr_pages))
 
 
+class TesseractOCR:
+    """Live Tesseract subprocess driver (reference: ocr/tesseract.py:68-141).
+
+    Shells out to the `tesseract` binary per image and parses the hOCR
+    through the same kernel as HocrOCR. A custom ``runner(img) -> hocr_html``
+    can be injected for tests (the reference's own suite mocks the
+    subprocess the same way). Raises OSError when the binary is absent,
+    like the reference."""
+
+    def __init__(self, lang: str = "eng", psm: int = 11, runner=None):
+        self.lang = lang
+        self.psm = psm
+        self._runner = runner
+        if runner is None:
+            import shutil
+
+            if shutil.which("tesseract") is None:
+                raise OSError("Tesseract not found in PATH")
+
+    def _hocr(self, img) -> str:
+        if self._runner is not None:
+            return self._runner(img)
+        import subprocess
+        import tempfile
+        from pathlib import Path as _P
+
+        from img2table_spark.kernels.encoders import encode_bmp24
+
+        with tempfile.NamedTemporaryFile(suffix=".bmp", delete=False) as f:
+            f.write(encode_bmp24(img))
+            tmp = f.name
+        try:
+            return subprocess.check_output(
+                ["tesseract", tmp, "stdout", "--psm", str(self.psm),
+                 "-l", self.lang, "hocr"],
+                stderr=subprocess.DEVNULL,
+            ).decode("utf-8")
+        finally:
+            _P(tmp).unlink(missing_ok=True)
+
+    def words_from_image(self, img) -> pd.DataFrame:
+        return parse_hocr_pages([self._hocr(img)])
+
+
 def _read_src(src) -> bytes:
     if isinstance(src, (str, Path)):
         return Path(src).read_bytes()
@@ -135,7 +179,12 @@ class Image:
         borderless_tables: bool = False,
         min_confidence: int = 50,
     ) -> list[ExtractedTable]:
-        words = ocr.words_for_page(0) if ocr is not None else None
+        if ocr is None:
+            words = None
+        elif hasattr(ocr, "words_from_image"):  # image-driven engines
+            words = ocr.words_from_image(self.images[0])
+        else:
+            words = ocr.words_for_page(0)
         tables = extract_image_tables(
             self.images[0],
             words=words,

@@ -120,6 +120,96 @@ def vision_map_response(response: dict, page: int, width: int, height: int) -> l
     return elements
 
 
+def doctr_words(content) -> pd.DataFrame | None:
+    """docTR Document (pages→blocks→lines→words, relative geometry) → word
+    table (reference: src/img2table/ocr/doctr.py:37-69; note line_id resets
+    per block and word_id runs per page, kept verbatim)."""
+    elements = []
+    for page_id, page in enumerate(content.pages):
+        dimensions = page.dimensions
+        word_id = 0
+        for block in page.blocks:
+            for line_id, line in enumerate(block.lines):
+                for word in line.words:
+                    word_id += 1
+                    elements.append(
+                        {
+                            "page": page_id,
+                            "class": "ocrx_word",
+                            "id": f"word_{page_id + 1}_{line_id}_{word_id}",
+                            "parent": f"word_{page_id + 1}_{line_id}",
+                            "value": word.value,
+                            "confidence": int(round(100 * word.confidence)),
+                            "x1": int(round(word.geometry[0][0] * dimensions[1])),
+                            "y1": int(round(word.geometry[0][1] * dimensions[0])),
+                            "x2": int(round(word.geometry[1][0] * dimensions[1])),
+                            "y2": int(round(word.geometry[1][1] * dimensions[0])),
+                        }
+                    )
+    return words_dataframe(elements)
+
+
+def surya_words(content: list) -> pd.DataFrame | None:
+    """Surya OCRResult list (text_lines with polygon/text/confidence) → word
+    table (reference: src/img2table/ocr/surya.py:49-76). bbox falls back to
+    the polygon envelope when not materialized (it is a computed property on
+    surya's schema objects)."""
+    elements = []
+    for page_id, ocr_result in enumerate(content):
+        for idx, tl in enumerate(ocr_result.text_lines):
+            bbox = getattr(tl, "bbox", None)
+            if bbox is None:
+                xs = [p[0] for p in tl.polygon]
+                ys = [p[1] for p in tl.polygon]
+                bbox = [min(xs), min(ys), max(xs), max(ys)]
+            elements.append(
+                {
+                    "page": page_id,
+                    "class": "ocrx_word",
+                    "id": f"word_{page_id + 1}_{idx + 1}_0",
+                    "parent": f"word_{page_id + 1}_{idx + 1}",
+                    "value": tl.text,
+                    "confidence": int(round(100 * tl.confidence)),
+                    "x1": int(bbox[0]),
+                    "y1": int(bbox[1]),
+                    "x2": int(bbox[2]),
+                    "y2": int(bbox[3]),
+                }
+            )
+    return words_dataframe(elements)
+
+
+def azure_words(content: list) -> pd.DataFrame | None:
+    """Azure Read API results (ReadOperationResult list) → word table
+    (reference: src/img2table/ocr/azure.py:85-123; line/word counters run
+    per page across read_results)."""
+    elements = []
+    for page, result in enumerate(content):
+        line_cnt = 0
+        word_cnt = 0
+        for r in result.analyze_result.read_results:
+            for line in r.lines:
+                line_cnt += 1
+                for word in line.words:
+                    word_cnt += 1
+                    bbox = [int(v) for v in word.bounding_box]
+                    elements.append(
+                        {
+                            "page": page,
+                            "class": "ocrx_word",
+                            "id": f"word_{page + 1}_{word_cnt}",
+                            "parent": f"word_{page + 1}_{line_cnt}",
+                            "value": word.text,
+                            "confidence": int(round(100 * word.confidence)),
+                            "x1": min(bbox[::2]),
+                            "x2": max(bbox[::2]),
+                            "y1": min(bbox[1::2]),
+                            "y2": max(bbox[1::2]),
+                        }
+                    )
+    return words_dataframe(elements)
+
+
 def paddle_words(content: list[dict]) -> pd.DataFrame | None:
     """PaddleOCR 3.x predict output → word table
     (reference: src/img2table/ocr/paddle.py:134-161; confidence 100·score

@@ -76,6 +76,31 @@ def test_image_excel(ref_tests, ocr):
         assert got[name] == expected[name]
 
 
+def test_tesseract_ocr_driver(ref_tests):
+    """TesseractOCR with an injected runner (the reference's own tests mock
+    the subprocess) must produce the same tables as HocrOCR on the same
+    hOCR; without a binary or runner it raises OSError like the reference."""
+    import pytest as _pytest
+
+    from img2table_spark.compat import TesseractOCR
+
+    hocr = (ref_tests / "_mock_data/tesseract_hocr.html").read_text()
+    src = str(ref_tests / "document/image/test_data/test.png")
+    via_driver = Image(src=src).extract_tables(
+        ocr=TesseractOCR(runner=lambda img: hocr), implicit_rows=True
+    )
+    via_hocr = Image(src=src).extract_tables(ocr=HocrOCR([hocr]), implicit_rows=True)
+    assert [(t.bbox, t.title, t.df.values.tolist()) for t in via_driver] == [
+        (t.bbox, t.title, t.df.values.tolist()) for t in via_hocr
+    ]
+
+    import shutil
+
+    if shutil.which("tesseract") is None:
+        with _pytest.raises(OSError):
+            TesseractOCR()
+
+
 def test_pdf_tables(ref_tests):
     """Oracle: tests/document/pdf/test_pdf.py:48-72 (titles + shapes; bboxes
     are version-fragile in the reference itself → ±2px)."""

@@ -46,6 +46,83 @@ def test_vision_adapter(ref_tests):
     assert result == expected[0]
 
 
+def _permissive_load(path):
+    """Unpickle vendor fixtures WITHOUT the vendor packages: every non-std
+    class becomes an attribute-bag stub (pydantic/msrest models pickle as
+    plain state dicts; enums as cls(value) calls)."""
+    import pickle
+
+    class Stub:
+        def __init__(self, *args, **kwargs):
+            self._args = args
+            self.__dict__.update(kwargs)
+
+        def __setstate__(self, state):
+            if isinstance(state, tuple):
+                for part in state:
+                    if isinstance(part, dict):
+                        self.__dict__.update(part)
+                return
+            if isinstance(state, dict):
+                inner = state.pop("__dict__", None)
+                if isinstance(inner, dict):
+                    self.__dict__.update(inner)
+                self.__dict__.update(state)
+
+    class U(pickle.Unpickler):
+        def find_class(self, module, name):
+            root = module.split(".")[0]
+            if root in ("numpy", "builtins", "collections", "copyreg", "datetime", "functools"):
+                return super().find_class(module, name)
+            return type(name, (Stub,), {})
+
+    with open(path, "rb") as f:
+        return U(f).load()
+
+
+def test_doctr_adapter(ref_tests):
+    """Oracle: tests/ocr/doctr (ocr.pkl → ocr_df.csv)."""
+    from img2table_spark.kernels.ocr_adapters import doctr_words
+
+    content = _permissive_load(ref_tests / "ocr/doctr/test_data/ocr.pkl")
+    words = doctr_words(content)
+    expected = load_words_csv(ref_tests / "ocr/doctr/test_data/ocr_df.csv")
+    pd.testing.assert_frame_equal(
+        words.astype(str).reset_index(drop=True),
+        expected.astype(str).reset_index(drop=True),
+    )
+
+
+def test_surya_adapter(ref_tests):
+    """Oracle: tests/ocr/surya (_mock_data/surya.pkl → ocr_df.csv)."""
+    from img2table_spark.kernels.ocr_adapters import surya_words
+
+    content = _permissive_load(ref_tests / "_mock_data/surya.pkl")
+    words = surya_words(content)
+    expected = load_words_csv(ref_tests / "ocr/surya/test_data/ocr_df.csv")
+    # the golden CSV holds one genuinely-empty OCR value; pandas reads it as
+    # NaN while the adapter (like polars) keeps the empty string
+    expected["value"] = expected["value"].fillna("")
+    pd.testing.assert_frame_equal(
+        words.astype(str).reset_index(drop=True),
+        expected.astype(str).reset_index(drop=True),
+    )
+
+
+def test_azure_adapter(ref_tests):
+    """Oracle: tests/ocr/azure (_mock_data/azure.pkl → ocr_df.csv; the
+    reference wraps the single page result in a list)."""
+    from img2table_spark.kernels.ocr_adapters import azure_words
+
+    content = _permissive_load(ref_tests / "_mock_data/azure.pkl")
+    words = azure_words([content])
+    expected = load_words_csv(ref_tests / "ocr/azure/test_data/ocr_df.csv")
+    pd.testing.assert_frame_equal(
+        words.astype(str).reset_index(drop=True),
+        expected.astype(str).reset_index(drop=True),
+    )
+
+
 def test_paddle_adapter(ref_tests):
     """Oracle: tests/ocr/paddle (hocr.json → ocr_df.csv)."""
     from img2table_spark.kernels.ocr_adapters import paddle_words
