@@ -74,7 +74,12 @@ def sauvola_threshold_mask(gray: np.ndarray, window: int, k: float = 0.2, r: flo
     var = sqmean - mean * mean
     std = np.sqrt(np.maximum(var, 0), dtype=np.float32)
     thresh = mean * (1.0 + np.float32(k) * (std / np.float32(r) - 1.0))
-    return (255 * (gray <= thresh)).astype(np.uint8)
+    # cv2's niBlackThreshold ends with thresh.convertTo(src.depth()): the
+    # float threshold is ROUNDED to uint8 (saturate_cast = half-to-even)
+    # before the caller's `gray <= t` compare — boundary pixels where T
+    # rounds up to the gray value flip ON only with this rounding
+    t_u8 = np.clip(np.rint(thresh), 0, 255).astype(np.uint8)
+    return (255 * (gray <= t_u8)).astype(np.uint8)
 
 
 _SMALL_GAUSS = {

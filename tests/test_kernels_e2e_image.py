@@ -68,13 +68,13 @@ def rlsa_inputs(ref_tests):
 
 
 def test_identify_text_mask(rlsa_inputs):
-    """Oracle: tests/.../layout/test_rlsa.py — pixel golden, ≤0.1% deviation
-    tolerated (residual Sauvola float-boundary pixels; 243/890k measured)."""
+    """Oracle: tests/.../layout/test_rlsa.py — pixel golden, EXACT (the
+    round-1 243-px residual was cv2's convertTo-uint8 rounding of the
+    Sauvola threshold before the compare; replicated in imageops)."""
     img, lines, expected, _ = rlsa_inputs
     thresh = threshold_dark_areas(img, char_length=6)
     result = identify_text_mask(thresh=thresh, lines=lines, char_length=6.0)
-    mismatch = int((result != expected).sum())
-    assert mismatch <= 0.001 * expected.size, f"{mismatch} mismatching pixels"
+    assert int((result != expected).sum()) == 0
 
 
 def test_get_image_elements(rlsa_inputs):

@@ -60,11 +60,8 @@ def test_compute_img_metrics(test_png):
 
 
 def test_detect_lines(ref_tests):
-    """Oracle: tests/.../lines/test_lines.py. Line POSITIONS and thickness
-    are exact; extremity coordinates tolerate ±2px (the golden is not fully
-    reproducible from the shipped fixture image: border-fringe pixels at
-    line corners differ — the exact-math Laplacian puts them ON; downstream
-    tolerances ≥5px absorb this)."""
+    """Oracle: tests/.../lines/test_lines.py — positions, thickness AND
+    extremities all exact vs the shipped golden."""
     base = ref_tests / "tables/processing/bordered_tables/lines/test_data"
     with open(base / "test.png", "rb") as f:
         img = decode_png(f.read())
@@ -82,14 +79,14 @@ def test_detect_lines(ref_tests):
     want_h = sorted(exp["h_lines"], key=lambda e: (e["y1"], e["x1"]))
     assert len(got_h) == len(want_h)
     for g, w in zip(got_h, want_h):
-        assert g.y1 == w["y1"] and g.y2 == w["y2"]          # position exact
+        assert g.y1 == w["y1"] and g.y2 == w["y2"]
         assert g.thickness == w["thickness"]
-        assert abs(g.x1 - w["x1"]) <= 2 and abs(g.x2 - w["x2"]) <= 2
+        assert g.x1 == w["x1"] and g.x2 == w["x2"]
 
     got_v = sorted(v_lines, key=lambda ln: (ln.x1, ln.y1))
     want_v = sorted(exp["v_lines"], key=lambda e: (e["x1"], e["y1"]))
     assert len(got_v) == len(want_v)
     for g, w in zip(got_v, want_v):
-        assert g.x1 == w["x1"] and g.x2 == w["x2"]          # position exact
+        assert g.x1 == w["x1"] and g.x2 == w["x2"]
         assert g.thickness == w["thickness"]
-        assert abs(g.y1 - w["y1"]) <= 2 and abs(g.y2 - w["y2"]) <= 2
+        assert g.y1 == w["y1"] and g.y2 == w["y2"]
