@@ -14,6 +14,7 @@ Design rules for oracle parity:
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -640,10 +641,9 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 _MAX_LP_ROUNDS = 32  # safety backstop; convergence check is the real exit
 
 
-def q16_dedup_clusters(
-    spark: SparkSession, sf_dir: str, *, reliable: bool = False
-) -> DataFrame:
-    """Label propagation with per-round lineage truncation.
+def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> DataFrame:
+    """Connected-component labels (node, label) over the verified MinHash
+    pairs via min-label propagation with per-round lineage truncation.
 
     reliable=False (default, interactive/driver-gate path): localCheckpoint —
     executor-local, fast, fine when executor loss means job retry anyway.
@@ -685,14 +685,23 @@ def q16_dedup_clusters(
         labels = stepped.select("node", "label")
         if n_changed == 0:
             break
+    return labels
+
+
+def q16_dedup_clusters(
+    spark: SparkSession, sf_dir: str, *, reliable: bool = False
+) -> DataFrame:
+    labels = _lp_labels(spark, sf_dir, reliable=reliable)
     out = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"), F.min("node").alias("keeper")
     )
     return out.select(F.col("keeper").alias("cluster_id"), "cluster_size")
 
 
-Q16_SQL = f"""
-WITH RECURSIVE toks AS (
+# shared CTE chain: documents → shingles → MinHash bands → verified pairs →
+# connected components (node, label). Reused by q16 (cluster stats) and q23
+# (corpus purge).
+_Q16_CTES = f"""toks AS (
   SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
 ),
 sh AS (
@@ -733,7 +742,10 @@ walk(node, label) AS (
   UNION
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node WHERE w.label < e.src
 ),
-comp AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+comp AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)"""
+
+Q16_SQL = f"""
+WITH RECURSIVE {_Q16_CTES}
 SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 FROM comp GROUP BY label
 """
@@ -1014,6 +1026,254 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_cells_flat(df, salt=True)
 
 
+# --------------------------------------------------------------------------
+# q20 — SRP-LSH cosine near-dup: signed-random-projection signatures (16
+# deterministic hyperplanes, embedded as literals in BOTH engines), banded
+# 2×8 bits; candidate pairs join on (band_idx, band_val) equality and are
+# verified by exact cosine. THIS is the linear-shuffle scale path for
+# embedding dedup — q18's IVF variant still does all-pairs within a coarse
+# bucket, SRP banding keys shrink with corpus growth for free.
+# --------------------------------------------------------------------------
+
+_SRP_BITS = 16
+_SRP_BAND = 8  # 2 bands × 8 bits
+_SRP_DIM = 64
+_SRP_PLANES = [
+    [
+        1.0 if _hashlib.md5(f"srp_{b}_{d}".encode()).digest()[0] % 2 == 0 else -1.0
+        for d in range(_SRP_DIM)
+    ]
+    for b in range(_SRP_BITS)
+]
+_SRP_COS_MIN = 0.35
+
+
+def q20_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
+    )
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _SRP_PLANES]
+    )
+    bits = F.expr(
+        "transform(planes, p -> IF(aggregate(zip_with(v, p, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x) >= 0, 1L, 0L))"
+    )
+    sig = emb.withColumn("planes", planes).withColumn("bits", bits).select(
+        "vec_id",
+        "v",
+        F.expr(f"aggregate(slice(bits, 1, {_SRP_BAND}), 0L, (acc, x) -> 2 * acc + x)").alias("b0"),
+        F.expr(
+            f"aggregate(slice(bits, {_SRP_BAND + 1}, {_SRP_BAND}), 0L, (acc, x) -> 2 * acc + x)"
+        ).alias("b1"),
+    )
+    banded = sig.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), F.col("b0").alias("band_val")),
+                F.struct(F.lit(1).alias("band_idx"), F.col("b1").alias("band_val")),
+            )
+        ).alias("band"),
+    ).select("vec_id", "v", "band.band_idx", "band.band_val")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
+        "(sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))"
+    )
+    return cand.filter(cos >= _SRP_COS_MIN).select("vec_a", "vec_b")
+
+
+def _srp_planes_sql() -> str:
+    rows = ", ".join(
+        f"({b}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for b, row in enumerate(_SRP_PLANES)
+    )
+    return f"(VALUES {rows}) planes(b, p)"
+
+
+Q20_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, {_srp_planes_sql()}
+),
+bands AS (
+  SELECT vec_id, b // {_SRP_BAND} AS band_idx,
+         SUM(bit * (1::BIGINT << ({_SRP_BAND - 1} - (b % {_SRP_BAND})))) AS band_val
+  FROM bits GROUP BY vec_id, b // {_SRP_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {_SRP_COS_MIN}
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — deterministic stratified sampling: hash-gated per-language rates
+# (downsample the dominant language) — the standard reproducible corpus
+# sampler (md5-mod gate computes identically on any engine, no RNG state).
+# Narrow map + single agg: trivially scale-safe.
+# --------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 10}  # percent kept; every other stratum keeps 50%
+_SAMPLE_DEFAULT = 50
+
+
+def q21_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(_SAMPLE_RATES["en"])).otherwise(
+        F.lit(_SAMPLE_DEFAULT)
+    )
+    return (
+        docs.filter(gate < rate)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+Q21_SQL = f"""
+SELECT lang, source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN {_SAMPLE_RATES["en"]} ELSE {_SAMPLE_DEFAULT} END
+GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — sessionization: gap-based session ids over the event stream (30-min
+# inactivity splits), the canonical transcript/agent-log windowing op.
+# Cumulative-sum-of-flags over a per-user window — one shuffle on user_id.
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def q22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_S, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long"),
+    ).withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return flagged.groupBy("user_id", "sess_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    )
+
+
+Q22_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN sec - lag(sec) OVER w > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, sec,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+  FROM flagged
+)
+SELECT user_id, sess_idx, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+       MAX(sec) - MIN(sec) AS duration_s
+FROM sess GROUP BY user_id, sess_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — near-dup PURGE: the end-to-end dedup action — drop every cluster
+# member except the keeper (min doc_id = its propagated label) and report
+# the retained corpus per language. Anti-join against the (small) non-keeper
+# set; at scale Spark broadcasts it automatically.
+# --------------------------------------------------------------------------
+
+def q23_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _lp_labels(spark, sf_dir)
+    drops = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+Q23_SQL = f"""
+WITH RECURSIVE {_Q16_CTES}
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> label)
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — token document frequency: the inverted-index statistic behind idf
+# weighting and vocabulary pruning. Distinct (doc, token) then one shuffle
+# on token; hot tokens are plain agg keys (no join), so no skew hazard.
+# --------------------------------------------------------------------------
+
+_DF_MIN = 20
+
+
+def q24_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _DF_MIN)
+    )
+
+
+Q24_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok HAVING COUNT(*) >= {_DF_MIN}
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -1034,6 +1294,11 @@ QUERIES = {
     "q17_ngram_jaccard": q17_ngram_jaccard,
     "q18_embedding_neardup": q18_embedding_neardup,
     "q19_token_counts": q19_token_counts,
+    "q20_srp_lsh_neardup": q20_srp_lsh_neardup,
+    "q21_stratified_sample": q21_stratified_sample,
+    "q22_sessionize": q22_sessionize,
+    "q23_dedup_purge": q23_dedup_purge,
+    "q24_token_df": q24_token_df,
 }
 
 ORACLES = {
@@ -1056,4 +1321,9 @@ ORACLES = {
     "q17_ngram_jaccard": Q17_SQL,
     "q18_embedding_neardup": Q18_SQL,
     "q19_token_counts": Q19_SQL,
+    "q20_srp_lsh_neardup": Q20_SQL,
+    "q21_stratified_sample": Q21_SQL,
+    "q22_sessionize": Q22_SQL,
+    "q23_dedup_purge": Q23_SQL,
+    "q24_token_df": Q24_SQL,
 }
