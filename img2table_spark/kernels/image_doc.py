@@ -26,12 +26,19 @@ class ImageDecodeError(ValueError):
 
 def decode_image_bytes(data: bytes):
     """Magic-sniffing decode: PNG / JPEG (baseline + progressive) / BMP /
-    TIFF → RGB uint8 array. The reference accepts anything cv2.imdecode
-    reads (reference document/image.py:25-32); these cover its README input
-    list minus WebP/GIF (rejected loudly)."""
+    TIFF / PNM / PFM / Sun raster → RGB uint8 array. The reference accepts
+    anything cv2.imdecode reads (reference document/image.py:25-32); these
+    cover its README input list minus WebP / JPEG-2000 / EXR / HDR
+    (rejected loudly — entropy/wavelet codecs out of from-scratch scope)."""
     from img2table_spark.kernels.bmp import BMPError, decode_bmp
     from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
     from img2table_spark.kernels.png import PNGError, decode_png
+    from img2table_spark.kernels.pnm import (
+        PNMError,
+        decode_pfm,
+        decode_pnm,
+        decode_sun_raster,
+    )
     from img2table_spark.kernels.tiff import TIFFError, decode_tiff
 
     try:
@@ -43,7 +50,13 @@ def decode_image_bytes(data: bytes):
             return decode_tiff(data)
         if data[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(data)
-    except (PNGError, JPEGError, BMPError, TIFFError) as exc:
+        if data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+            return decode_pnm(data)
+        if data[:2] in (b"PF", b"Pf"):
+            return decode_pfm(data)
+        if data[:4] == b"\x59\xa6\x6a\x95":
+            return decode_sun_raster(data)
+    except (PNGError, JPEGError, BMPError, TIFFError, PNMError) as exc:
         raise ImageDecodeError(str(exc)) from exc
     raise ImageDecodeError(f"unrecognized image magic {data[:8]!r}")
 

@@ -582,20 +582,23 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.withColumn("seeds", seeds_lit)
         .withColumn("bucket", F.expr(_IVF_ASSIGN_EXPR))
-        .select("vec_id", "v", "bucket")
+        # pre-normalized vectors: downstream pairwise cosine becomes a plain
+        # dot product — O(d) per pair instead of O(3d) (norms otherwise get
+        # recomputed for every one of a vector's ~bucket-size partners)
+        .withColumn(
+            "vn",
+            F.expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))"),
+        )
+        .select("vec_id", "v", "vn", "bucket")
     )
 
 
 def q15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = _ivf_assigned(spark, sf_dir)
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "vn", "bucket")
     queries = assigned.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qn"), F.col("bucket").alias("qb")
     )
-    dot = F.expr(
-        "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
-        "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
-        "sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"
-    )
+    dot = F.expr("aggregate(zip_with(vn, qn, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         assigned.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
@@ -829,17 +832,13 @@ WHERE (100 * inter) // (na.n + nb.n - inter) >= 20
 # --------------------------------------------------------------------------
 
 def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = _ivf_assigned(spark, sf_dir)
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "vn", "bucket")
     j = assigned.alias("a").join(
         assigned.alias("b"),
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / "
-        "(sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x)) * "
-        "sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x)))"
-    )
+    cos = F.expr("aggregate(zip_with(a.vn, b.vn, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     return (
         j.select(
             F.col("a.vec_id").alias("vec_a"),
