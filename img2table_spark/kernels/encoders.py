@@ -229,31 +229,98 @@ def _trunc_shift(v: int, al: int) -> int:
     return (abs(v) >> al) * (1 if v >= 0 else -1)
 
 
-def rgb_to_quantized_blocks(img: np.ndarray, qtable: np.ndarray):
-    """RGB → per-component zigzag-quantized coefficient arrays (no
-    subsampling, 8-bit, quality set by qtable)."""
+def rgb_to_quantized_blocks(img: np.ndarray, qtable: np.ndarray, subsample: bool = False):
+    """RGB → per-component zigzag-quantized coefficient grids.
+
+    subsample=False: 3 components at 1×1. subsample=True: Y at 2×2, chroma
+    box-averaged 2× (the layout real progressive encoders default to).
+    Returns (comps, geo) where geo = dict(mcux, mcuy, hmax, vmax,
+    factors=[(h_i, v_i)], dims=[(bw, cwb, chb)]): bw is the padded block-grid
+    width (mcux·h_i), (cwb, chb) the block counts actually covered by
+    non-interleaved AC scans."""
     h, w, _ = img.shape
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
     b = img[:, :, 2].astype(np.float64)
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,
-        128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
-        128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
-    ]
-    bh, bw = -(-h // 8), -(-w // 8)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    def box2(p):
+        hh = (p.shape[0] + 1) // 2 * 2
+        ww = (p.shape[1] + 1) // 2 * 2
+        p = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+    if subsample:
+        factors = [(2, 2), (1, 1), (1, 1)]
+        planes = [y, box2(cb), box2(cr)]
+    else:
+        factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
     comps = []
-    for p in planes:
-        padded = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+    dims = []
+    for p, (fh, fv) in zip(planes, factors):
+        bw = mcux * fh
+        bh = mcuy * fv
+        cw = -(-(w * fh) // hmax)
+        chh = -(-(h * fv) // vmax)
+        padded = np.pad(
+            p[:chh, :cw], ((0, bh * 8 - chh), (0, bw * 8 - cw)), mode="edge"
+        ) - 128.0
         blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coeff = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True)
         q = np.rint(coeff.reshape(-1, 64) / qtable[None, :]).astype(np.int32)
         comps.append(q[:, ZIGZAG])  # natural → zigzag order
-    return comps, bw, bh
+        dims.append((bw, -(-cw // 8), -(-chh // 8)))
+    geo = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax,
+           "factors": factors, "dims": dims}
+    return comps, geo
 
 
-def encode_jpeg_progressive(img: np.ndarray, qval: int = 2) -> bytes:
-    """RGB → progressive JPEG (SOF2), 3 components, no subsampling.
+def _mcu_block_order(geo) -> list[tuple[int, int]]:
+    """Interleaved (ci, block_index) sequence: MCU raster order, within each
+    MCU every component's v_i×h_i blocks (T.81 A.2.3)."""
+    order = []
+    for my in range(geo["mcuy"]):
+        for mx in range(geo["mcux"]):
+            for ci, (fh, fv) in enumerate(geo["factors"]):
+                bw = geo["dims"][ci][0]
+                for by in range(fv):
+                    for bx in range(fh):
+                        order.append((ci, (my * fv + by) * bw + mx * fh + bx))
+    return order
+
+
+def _comp_block_order(geo, ci: int) -> list[int]:
+    """Non-interleaved scan order: the component's own cwb×chb raster."""
+    bw, cwb, chb = geo["dims"][ci]
+    return [r * bw + c for r in range(chb) for c in range(cwb)]
+
+
+def zero_uncovered_ac(comps, geo):
+    """Ground-truth helper: AC scans cover only cwb×chb blocks; right/bottom
+    PAD blocks of a subsampled grid receive DC only. Returns copies with
+    pad-block AC zeroed — exactly the coefficient state a decoder holds."""
+    out = []
+    for ci, q in enumerate(comps):
+        q = q.copy()
+        covered = set(_comp_block_order(geo, ci))
+        for bi in range(q.shape[0]):
+            if bi not in covered:
+                q[bi, 1:] = 0
+        out.append(q)
+    return out
+
+
+def encode_jpeg_progressive(img: np.ndarray, qval: int = 2, subsample: bool = False) -> bytes:
+    """RGB → progressive JPEG (SOF2), 3 components, optional 2×2 chroma
+    subsampling (the real-world progressive layout).
 
     Scan script exercises all four progressive entropy modes:
       1. DC first (interleaved, Al=1)   2. AC first per comp (Ss=1..63, Al=1)
@@ -261,14 +328,14 @@ def encode_jpeg_progressive(img: np.ndarray, qval: int = 2) -> bytes:
     """
     h, w, _ = img.shape
     qtable = np.full(64, qval, dtype=np.int32)
-    comps, bw, bh = rgb_to_quantized_blocks(img, qtable)
-    nb = bw * bh
+    comps, geo = rgb_to_quantized_blocks(img, qtable, subsample=subsample)
+    mcu_order = _mcu_block_order(geo)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(qtable[ZIGZAG].astype(np.uint8))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid in (1, 2, 3):
-        sof += struct.pack("BBB", cid, 0x11, 0)
+    for cid, (fh, fv) in zip((1, 2, 3), geo["factors"]):
+        sof += struct.pack("BBB", cid, (fh << 4) | fv, 0)
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
 
     def emit_dht(cls: int, tid: int, payload: bytes):
@@ -285,18 +352,16 @@ def encode_jpeg_progressive(img: np.ndarray, qval: int = 2) -> bytes:
 
     # ---- scan 1: DC first, interleaved, Al=1
     dc_syms: list[int] = []
-    scans_dc: list[list[tuple[int, int, int]]] = []
     for _pass in range(2):
         wbits = _BitWriter()
         preds = [0, 0, 0]
         plan: list[tuple[int, int, int]] = []
-        for bi in range(nb):
-            for ci in range(3):
-                dc = int(comps[ci][bi][0]) >> 1  # arithmetic shift (Al=1)
-                diff = dc - preds[ci]
-                preds[ci] = dc
-                s, bits = _mag_bits(diff)
-                plan.append((s, bits, s))
+        for ci, bi in mcu_order:
+            dc = int(comps[ci][bi][0]) >> 1  # arithmetic shift (Al=1)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s, bits = _mag_bits(diff)
+            plan.append((s, bits, s))
         if _pass == 0:
             dc_syms = [p[0] for p in plan]
             continue
@@ -312,7 +377,7 @@ def encode_jpeg_progressive(img: np.ndarray, qval: int = 2) -> bytes:
     # ---- scans 2-4: AC first per component, Ss=1..63, Al=1
     for ci, cid in enumerate((1, 2, 3)):
         events: list[tuple] = []  # ("sym", rs) | ("bits", v, n)
-        for bi in range(nb):
+        for bi in _comp_block_order(geo, ci):
             coef = comps[ci][bi]
             band = [_trunc_shift(int(coef[k]), 1) for k in range(1, 64)]
             r = 0
@@ -342,16 +407,15 @@ def encode_jpeg_progressive(img: np.ndarray, qval: int = 2) -> bytes:
 
     # ---- scan 5: DC refine (Al=0)
     wbits = _BitWriter()
-    for bi in range(nb):
-        for ci in range(3):
-            wbits.write(int(comps[ci][bi][0]) & 1, 1)
+    for ci, bi in mcu_order:
+        wbits.write(int(comps[ci][bi][0]) & 1, 1)
     emit_sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0, wbits.flush())
 
     # ---- scans 6-8: AC refine per component (Ah=1, Al=0),
     #      per T.81 G.1.2.3 encoder (libjpeg encode_mcu_AC_refine shape)
     for ci, cid in enumerate((1, 2, 3)):
         events = []
-        for bi in range(nb):
+        for bi in _comp_block_order(geo, ci):
             coef = [int(v) for v in comps[ci][bi]]
             absv = [abs(coef[k]) for k in range(1, 64)]
             eob = -1

@@ -996,6 +996,19 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         for i in range(8, 12):
             rows.append((f"pdfconv{i % 2}", i, "assistant", pdf_b64, "application/pdf", ts))
+        # borderless pipeline payload (L1-L12 in the driver gate): dark.png
+        # with borderless detection on — expected 19×5 table, pinned by
+        # tests/test_kernels_e2e_image.py vs the reference's own e2e golden
+        rows.append(
+            (
+                "blconv0", 20, "assistant",
+                _json.dumps(
+                    {"image": dark_b64, "implicit_rows": True,
+                     "implicit_columns": True, "borderless_tables": True}
+                ),
+                "image/png", ts,
+            )
+        )
         # non-PNG codec payloads: the same test image re-encoded as BMP,
         # LZW-predictor TIFF, and progressive JPEG (SOF2) — certifies the
         # bmp/tiff/progressive decoders in the driver's hard gate

@@ -82,13 +82,36 @@ def test_progressive_jpeg_exact_coefficient_recovery(test_img):
     with successive approximation) recovered every coefficient bit."""
     img = test_img[:120, :200]  # keep the pure-Python entropy loops fast
     qtable = np.full(64, 2, dtype=np.int32)
-    comps_zz, bw, bh = rgb_to_quantized_blocks(img, qtable)
+    comps_zz, geo = rgb_to_quantized_blocks(img, qtable)
     spec = [{"h": 1, "v": 1, "tq": 0} for _ in range(3)]
     want = _reconstruct(
         spec, comps_zz, {0: qtable[ZIGZAG]}, img.shape[1], img.shape[0],
-        bw, bh, 1, 1,
+        geo["mcux"], geo["mcuy"], 1, 1,
     )
     got = decode_jpeg(encode_jpeg_progressive(img, qval=2))
+    assert np.array_equal(got, want)
+
+
+def test_progressive_jpeg_subsampled_exact(test_img):
+    """2×2-chroma-subsampled progressive (the real-world layout): exercises
+    the decoder's interleaved multi-block MCU path (4 Y + Cb + Cr per MCU)
+    and the per-component non-interleaved AC grids. Pixel-exact vs direct
+    reconstruction of the emitted coefficients (pad blocks DC-only, as the
+    scan script leaves them)."""
+    from img2table_spark.kernels.encoders import zero_uncovered_ac
+
+    img = test_img[:121, :201]  # odd sizes → pad blocks on both axes
+    qtable = np.full(64, 2, dtype=np.int32)
+    comps_zz, geo = rgb_to_quantized_blocks(img, qtable, subsample=True)
+    spec = [
+        {"h": fh, "v": fv, "tq": 0} for (fh, fv) in geo["factors"]
+    ]
+    want = _reconstruct(
+        spec, zero_uncovered_ac(comps_zz, geo), {0: qtable[ZIGZAG]},
+        img.shape[1], img.shape[0], geo["mcux"], geo["mcuy"],
+        geo["hmax"], geo["vmax"],
+    )
+    got = decode_jpeg(encode_jpeg_progressive(img, qval=2, subsample=True))
     assert np.array_equal(got, want)
 
 
