@@ -119,6 +119,12 @@ def test_pipeline_mixed_payloads(spark, ref_tests, tmp_path):
         ("m1", 0, "a", pdf_b64, "application/pdf", ts),
         ("m1", 1, "a", "plain prose", "text/plain", ts),
         ("m2", 0, "a", "!!!corrupt!!!", "image/png", ts),
+        # truncated/garbage bytes behind every codec magic: decoders must
+        # raise their typed errors, which the UDF maps to error-marker rows
+        ("m2", 1, "a", base64.b64encode(b"BM" + b"\x00" * 30).decode(), "image/bmp", ts),
+        ("m2", 2, "a", base64.b64encode(b"II*\x00" + b"\x07" * 20).decode(), "image/tiff", ts),
+        ("m2", 3, "a", base64.b64encode(b"\xff\xd8\xff\xc2" + b"\x00" * 16).decode(), "image/jpeg", ts),
+        ("m2", 4, "a", base64.b64encode(b"P6\n5 5\n255\nxx").decode(), "image/x-pnm", ts),
     ]
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     out = str(tmp_path / "out")
@@ -126,9 +132,9 @@ def test_pipeline_mixed_payloads(spark, ref_tests, tmp_path):
     summary = run_pipeline(spark, df, out, ckpt, n_buckets=4, wave_size=4)
     # 1 html + 2 image + 4 pdf tables
     assert summary["n_tables"] == 7
-    assert summary["n_errors"] == 1
+    assert summary["n_errors"] == 5
     committed = read_committed(ckpt)
-    assert sum(m["n_turns"] for m in committed.values()) == 5
+    assert sum(m["n_turns"] for m in committed.values()) == 9
     written = spark.read.parquet(out)
     assert written.count() == 7
     titles = {r["title"] for r in written.collect() if r["title"]}
