@@ -64,7 +64,12 @@ def decode_image_bytes(data: bytes):
 def extract_image_payload(text: str) -> list[Table]:
     from img2table_spark.operators.extract import PayloadError
 
-    opts = {"implicit_rows": False, "implicit_columns": False, "borderless_tables": False}
+    opts = {
+        "implicit_rows": False,
+        "implicit_columns": False,
+        "borderless_tables": False,
+        "detect_rotation": False,
+    }
     hocr = None
     payload = text.strip()
     if payload.startswith("{"):

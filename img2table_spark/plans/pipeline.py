@@ -39,9 +39,11 @@ def run_pipeline(
     input_path: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict."""
+    from img2table_spark.sources.iceberg import overwrite_partitions, read_table
+
     if isinstance(transcripts, str):
         input_path = input_path or transcripts
-        transcripts = spark.read.parquet(transcripts)
+        transcripts = read_table(spark, transcripts)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     df = transcripts.withColumn("bucket", bucket_col(n_buckets))
@@ -120,7 +122,7 @@ def run_pipeline(
             .persist()
         )
         out = ext.filter(F.col("table_idx") >= 0)
-        out.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
+        overwrite_partitions(out, output_dir, "bucket")
 
         # Post-commit metrics from the durably-written output (re-reading the
         # columnar sink verifies what is actually on disk), plus error counts
@@ -129,7 +131,7 @@ def run_pipeline(
         # must fail the wave BEFORE manifests are written, otherwise manifests
         # would durably record n_tables=0/checksum=0 for data that is on disk.
         try:
-            written = spark.read.parquet(output_dir).filter(F.col("bucket").isin(wave))
+            written = read_table(spark, output_dir).filter(F.col("bucket").isin(wave))
             out_stats = {
                 int(r["bucket"]): r
                 for r in written.groupBy("bucket")
@@ -154,7 +156,11 @@ def run_pipeline(
                 .collect()
             }
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            missing = any(
+                tok in str(exc)
+                for tok in ("PATH_NOT_FOUND", "Path does not exist", "TABLE_OR_VIEW_NOT_FOUND")
+            )
+            if not missing:
                 raise
             out_stats = {}
         err_stats = {

@@ -1009,6 +1009,22 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "image/png", ts,
             )
         )
+        # rotation payload (S3 in the driver gate): the reference's skewed
+        # document fixture with detect_rotation on — the skew estimate +
+        # warpAffine kernels run before extraction (their own parity is
+        # pinned by tests/test_kernels_rotation.py, 98 centroids exact)
+        rot_b64 = base64.b64encode(
+            (ref / "document/base/test_data/test.png").read_bytes()
+        ).decode()
+        rows.append(
+            (
+                "rotconv0", 21, "assistant",
+                _json.dumps(
+                    {"image": rot_b64, "implicit_rows": True, "detect_rotation": True}
+                ),
+                "image/png", ts,
+            )
+        )
         # non-PNG codec payloads: the same test image re-encoded as BMP,
         # LZW-predictor TIFF, and progressive JPEG (SOF2) — certifies the
         # bmp/tiff/progressive decoders in the driver's hard gate

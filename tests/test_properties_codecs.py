@@ -1,0 +1,58 @@
+"""Property-based codec round-trips (hypothesis): arbitrary small images
+and strip/compression/predictor combinations must survive encode→decode
+bit-exactly. Catches header-math and boundary bugs the fixture tests miss."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from img2table_spark.kernels.bmp import decode_bmp
+from img2table_spark.kernels.encoders import (
+    encode_bmp24,
+    encode_tiff,
+    packbits_encode,
+    tiff_lzw_encode,
+)
+from img2table_spark.kernels.tiff import _lzw_decode, _packbits_decode, decode_tiff
+
+
+def _img(h, w, seed):
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+)
+def test_bmp24_any_shape(h, w, seed):
+    img = _img(h, w, seed)
+    assert np.array_equal(decode_bmp(encode_bmp24(img)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    seed=st.integers(0, 10_000),
+    compression=st.sampled_from([1, 5, 8, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    rps=st.integers(1, 33),
+)
+def test_tiff_any_shape(h, w, seed, compression, predictor, rps):
+    img = _img(h, w, seed)
+    data = encode_tiff(img, compression=compression, predictor=predictor,
+                       rows_per_strip=rps)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=5000))
+def test_lzw_roundtrip_any_bytes(data):
+    assert _lzw_decode(tiff_lzw_encode(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_packbits_roundtrip_any_bytes(data):
+    assert _packbits_decode(packbits_encode(data)) == data
