@@ -11,6 +11,8 @@ output schema as image/PDF payloads.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 from img2table_spark.kernels.objects import Cell, Table
@@ -168,6 +170,54 @@ def _assemble_value(parts: list) -> str | None:
     return value or None
 
 
+# Fast path: a single regex pass over tags driving the SAME handler object —
+# identical state-machine semantics to HTMLParser.feed without goahead()'s
+# per-character scanning (the UDF hot path: ~60% of per-turn CPU was inside
+# html.parser). Inputs with constructs the scanner does not model
+# (comments/doctype/processing instructions) fall back to HTMLParser.
+_FAST_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)\s*((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+_NEEDS_SLOW = ("<!", "<?")
+
+
+def _feed_fast(parser: "_TableParser", html: str) -> None:
+    pos = 0
+    handle_data = parser.handle_data
+    handle_start = parser.handle_starttag
+    handle_end = parser.handle_endtag
+    for m in _FAST_TAG_RE.finditer(html):
+        if m.start() > pos:
+            data = html[pos : m.start()]
+            if "&" in data:
+                data = unescape(data)
+            handle_data(data)
+        closing, name, attrtext, selfclose = m.groups()
+        name = name.lower()
+        if closing:
+            handle_end(name)
+        else:
+            attrs = []
+            if attrtext and name in ("td", "th"):  # only cells carry attrs we read
+                for am in _ATTR_RE.finditer(attrtext):
+                    v = am.group(2)
+                    if v is not None:
+                        if v[0] in "\"'":
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = unescape(v)
+                    attrs.append((am.group(1).lower(), v))
+            handle_start(name, attrs)
+            if selfclose:
+                handle_end(name)
+        pos = m.end()
+    if pos < len(html):
+        handle_data(html[pos:])
+
+
 def parse_html_tables(html: str) -> list[Table]:
     """Parse every top-level ``<table>`` into a Table grid.
 
@@ -177,8 +227,11 @@ def parse_html_tables(html: str) -> list[Table]:
     (col width 100, row height 20) since HTML has no pixel space.
     """
     parser = _TableParser()
-    parser.feed(html)
-    parser.close()
+    if any(tok in html for tok in _NEEDS_SLOW):
+        parser.feed(html)
+        parser.close()
+    else:
+        _feed_fast(parser, html)
 
     out: list[Table] = []
     for raw_rows in parser.tables:

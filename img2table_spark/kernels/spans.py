@@ -52,6 +52,9 @@ def create_all_rectangles(positions: list[tuple[int, int]], value: str | None) -
     Scan order and the strict improvement test replicate the reference so
     that tie-breaks are identical.
     """
+    if len(positions) == 1:  # unmerged cell — the overwhelmingly common case
+        r, c = positions[0]
+        return [CellSpan(r, r, c, c, value)]
     pos_set = set(positions)
     min_col = min(p[1] for p in positions)
     max_col = max(p[1] for p in positions)
