@@ -118,15 +118,33 @@ def main() -> int:
     #      the box's LINEAR region (ceiling ≈0.95-0.98) — the engine's
     #      uncontaminated N→4N raw efficiency.
     low = max(1, cpus // 4)
-    # median of 5: single-trial walls scatter ±15% with co-tenant noise on
-    # this VM (measured 37-50 s for the same 8-core job within one run)
-    r_low = run_extraction_throughput(low, sf_dir, REPEAT, trials=5)
-    r_high = run_extraction_throughput(cpus, sf_dir, REPEAT, trials=5)
-    efficiency = round(
-        (r_high["turns_per_sec"] / r_low["turns_per_sec"]) / (cpus / low), 3
-    )
-    ceilings = sorted(hw_parallel_ceiling(low, cpus) for _ in range(3))
-    ceiling = ceilings[1]  # median of 3: the probe drifts with co-tenancy
+
+    def measure_pair() -> dict:
+        r_low = run_extraction_throughput(low, sf_dir, REPEAT)
+        r_high = run_extraction_throughput(cpus, sf_dir, REPEAT)
+        ceils = sorted(hw_parallel_ceiling(low, cpus) for _ in range(3))
+        return {
+            "low": r_low,
+            "high": r_high,
+            "eff": round((r_high["turns_per_sec"] / r_low["turns_per_sec"]) / (cpus / low), 3),
+            "ceils": ceils,
+            "spread": round(ceils[-1] - ceils[0], 3),
+        }
+
+    # Noise rejection: the pure-Python ceiling probe is an INDEPENDENT
+    # quietness signal for the measurement window (co-tenant bursts on this
+    # VM swing it 0.60-0.96 within minutes). If the window was noisy
+    # (probe spread > 0.15), re-measure once and keep the quieter window's
+    # numbers — selection is by the probe, never by the result itself.
+    attempt = measure_pair()
+    attempts = [attempt]
+    if attempt["spread"] > 0.15:
+        attempts.append(measure_pair())
+        attempt = min(attempts, key=lambda a: a["spread"])
+    r_low, r_high = attempt["low"], attempt["high"]
+    efficiency = attempt["eff"]
+    ceilings = attempt["ceils"]
+    ceiling = ceilings[1]
 
     tiny = max(1, cpus // 16)
     small_repeat = max(1, REPEAT // 4)
@@ -149,6 +167,10 @@ def main() -> int:
             "hw_parallel_ceiling": ceiling,
             "hw_parallel_ceiling_samples": ceilings,
             "efficiency_vs_hw_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
+            "attempts": [
+                {"eff": a["eff"], "ceils": a["ceils"], "spread": a["spread"]}
+                for a in attempts
+            ],
         },
         "scaling_linear_region": {
             "low": r_tiny,
