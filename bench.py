@@ -120,8 +120,8 @@ def main() -> int:
     low = max(1, cpus // 4)
 
     def measure_pair() -> dict:
-        r_low = run_extraction_throughput(low, sf_dir, REPEAT)
-        r_high = run_extraction_throughput(cpus, sf_dir, REPEAT)
+        r_low = run_extraction_throughput(low, sf_dir, REPEAT, trials=4)
+        r_high = run_extraction_throughput(cpus, sf_dir, REPEAT, trials=4)
         ceils = sorted(hw_parallel_ceiling(low, cpus) for _ in range(3))
         return {
             "low": r_low,
@@ -148,8 +148,8 @@ def main() -> int:
 
     tiny = max(1, cpus // 16)
     small_repeat = max(1, REPEAT // 4)
-    r_tiny = run_extraction_throughput(tiny, sf_dir, small_repeat, trials=2)
-    r_quarter = run_extraction_throughput(low, sf_dir, small_repeat, trials=2)
+    r_tiny = run_extraction_throughput(tiny, sf_dir, small_repeat, trials=3)
+    r_quarter = run_extraction_throughput(low, sf_dir, small_repeat, trials=3)
     eff_linear = round(
         (r_quarter["turns_per_sec"] / r_tiny["turns_per_sec"]) / (low / tiny), 3
     )
