@@ -106,6 +106,15 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # Soft time budget: optional stages (noisy-window retry, full-size
+    # linear pair) degrade gracefully so the driver always gets a complete
+    # JSON line even under a harness timeout.
+    t_start = time.time()
+    budget = int(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.time() - t_start)
+
     queries = run_query_suite(cpus, sf_dir)
 
     # N → 4N evidence, two pairs:
@@ -138,7 +147,7 @@ def main() -> int:
     # numbers — selection is by the probe, never by the result itself.
     attempt = measure_pair()
     attempts = [attempt]
-    if attempt["spread"] > 0.15:
+    if attempt["spread"] > 0.15 and remaining() > 480:
         attempts.append(measure_pair())
         attempt = min(attempts, key=lambda a: a["spread"])
     r_low, r_high = attempt["low"], attempt["high"]
@@ -147,9 +156,10 @@ def main() -> int:
     ceiling = ceilings[1]
 
     tiny = max(1, cpus // 16)
-    small_repeat = max(1, REPEAT // 4)
-    r_tiny = run_extraction_throughput(tiny, sf_dir, small_repeat, trials=3)
-    r_quarter = run_extraction_throughput(low, sf_dir, small_repeat, trials=3)
+    small_repeat = max(1, REPEAT // (4 if remaining() > 300 else 8))
+    lin_trials = 3 if remaining() > 300 else 2
+    r_tiny = run_extraction_throughput(tiny, sf_dir, small_repeat, trials=lin_trials)
+    r_quarter = run_extraction_throughput(low, sf_dir, small_repeat, trials=lin_trials)
     eff_linear = round(
         (r_quarter["turns_per_sec"] / r_tiny["turns_per_sec"]) / (low / tiny), 3
     )
