@@ -18,6 +18,7 @@ import hashlib as _hashlib
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from img2table_spark.operators.extract import extract_cells_flat
 from img2table_spark.sources.transcripts import transcripts_from_documents
@@ -273,15 +274,24 @@ _N_HASHES = 8
 _BAND_ROWS = 2
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(
+    spark: SparkSession, sf_dir: str, *, cluster_by_s: bool = False
+) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
-    return toks.select(
+    exploded = toks.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
         ).alias("s"),
-    ).distinct()
+    )
+    if cluster_by_s:
+        # One exchange on s serves the whole downstream chain: distinct needs
+        # ClusteredDistribution(doc_id, s), which hashpartitioning(s) already
+        # satisfies (equal rows co-locate), and the DF window / self-join in
+        # q17 both cluster on s — so they all reuse this single shuffle.
+        exploded = exploded.repartition("s")
+    return exploded.distinct()
 
 
 def q08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,9 +645,10 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 # --------------------------------------------------------------------------
 # q16 — near-dup CLUSTERS: connected components over the verified MinHash
 # pairs (q08) via iterative min-label propagation — the distributed
-# union-find (B5) analog at corpus scale. Iterates until a round changes no
-# label (converges in ≤ ceil(log2(diam)) rounds; near-dup graphs have tiny
-# diameters, so this usually exits after 2-3 rounds instead of a fixed 8);
+# union-find (B5) analog at corpus scale. Each round combines an edge hop
+# (min neighbor label) with a pointer-doubling hop (label := label[label]),
+# so label distance to the component minimum shrinks superlinearly and the
+# loop exits after ~ceil(log2(log2(diam)))+1 rounds instead of log2(diam);
 # keeper = min doc_id per cluster. SQL oracle: DuckDB recursive CTE.
 # --------------------------------------------------------------------------
 
@@ -676,12 +687,23 @@ def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> D
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer-doubling hop: my label's own label. labels is keyed on node,
+        # so this is a second equi-join against the same (small) round table —
+        # one extra shuffle per round that halves the number of rounds.
+        ptr = labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         stepped = _ckpt(
             labels.join(propagated, labels["node"] == propagated["src"], "left")
+            .join(ptr, labels["label"] == ptr["p_node"], "left")
             .select(
                 "node",
                 F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                    F.coalesce("p_label", F.col("label")),
+                ).alias("label"),
             )
         )
         n_changed = stepped.filter(F.col("label") != F.col("old_label")).count()
@@ -768,14 +790,19 @@ _DF_CAP = 100
 
 
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = _shingles(spark, sf_dir)
-    rare = (
-        raw.groupBy("s")
-        .agg(F.count("*").alias("df"))  # raw is distinct (doc_id, s) → df
+    raw = _shingles(spark, sf_dir, cluster_by_s=True)
+    # DF-cap via window on the shingle key: one shuffle on s covers both the
+    # document-frequency count and the rare-filter (no groupBy+self-join).
+    sh = (
+        raw.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .filter(F.col("df") <= _DF_CAP)
-        .select("s")
+        .select("doc_id", "s")
     )
-    sh = raw.join(rare, "s")
+    # The capped shingle table feeds three consumers (sizes, both sides of the
+    # self-join). Persist it so the explode+window runs once — at corpus scale
+    # this is the difference between one scan of documents and three
+    # (MEMORY_AND_DISK: spills instead of recomputing when executors are full).
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
