@@ -547,50 +547,113 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 
 # --------------------------------------------------------------------------
 # q15 — IVF-bucketed ANN: the scale path for q12. Vectors are assigned to
-# the nearest of 8 seed centroids (coarse quantization); queries search only
-# their own bucket. At 100 TB this turns an O(N·Q) brute force into a
-# shuffle-on-bucket + per-bucket local search. At real scale the seed count
-# grows with the corpus (k ≈ N / target_bucket_size, kmeans-trained) so the
-# per-bucket work stays bounded; here k=8 over the fixture-scale table.
+# the nearest of k kmeans-trained centroids (coarse quantization); queries
+# search only their own bucket. At 100 TB this turns an O(N·Q) brute force
+# into a shuffle-on-bucket + per-bucket local search. k = clamp(ceil(N/64),
+# 8, 512) actually grows with the corpus, so per-bucket work stays bounded.
+#
+# The trainer is deterministic FIXED-POINT Lloyd's so the DuckDB oracle can
+# replay it bit-exactly: embeddings are quantized to integers
+# (floor(x*1e6 + 0.5)), distances are exact integer squared-L2, centroid
+# updates are floor(sum/count) with the sum exact in int64 (< 2^53, so the
+# double division is also exact-deterministic). Training runs on a
+# hash-chosen sample of ≤ 4096 points collected to the driver (bounded —
+# the same driver-small contract as a broadcast dim); assignment of the full
+# table is a narrow per-row argmin against the literal centroid array: no
+# crossJoin row explosion, no window shuffle. At k beyond 512 (N ≳ 32k·64)
+# production would switch to hierarchical training (bucket-then-split) —
+# the cap keeps the sample statistically meaningful (≥ 8 points/centroid).
 # --------------------------------------------------------------------------
 
-_IVF_SEEDS = 8
+_IVF_KMIN = 8
+_IVF_KMAX = 512
+_IVF_TARGET_BUCKET = 64
+_IVF_SAMPLE = 4096
+_IVF_ITERS = 3
 
-# argmax over the (tiny, literal) seed array: cosine per seed computed once,
-# best (cos desc, seed_id asc) picked by struct-ordered array_max — per-row,
-# no row explosion, no window shuffle.
+# argmin over the (driver-small, literal) centroid array: exact integer
+# squared-L2 per centroid, best (dist asc, cid asc) picked by struct-ordered
+# array_min — per-row, no row explosion, no window shuffle.
 _IVF_ASSIGN_EXPR = """
-- array_max(transform(seeds, s -> struct(
-    aggregate(zip_with(v, s.sv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-      (sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) *
-       sqrt(aggregate(s.sv, 0D, (acc, x) -> acc + x * x))) AS c,
-    -s.seed_id AS nid))).nid
+array_min(transform(cents, c -> struct(
+  aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x) AS d,
+  c.cid AS cid))).cid
 """
+
+_QUANT_EXPR = "transform(embedding, x -> cast(floor(cast(x AS DOUBLE) * 1000000D + 0.5D) AS bigint))"
+
+_IVF_MEMO: dict = {}
+
+
+def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+        F.expr(_QUANT_EXPR).alias("qv"),
+    )
+
+
+def ivf_k_for(n: int) -> int:
+    """Centroid count for a corpus of n vectors: ceil(n / target_bucket),
+    clamped to [8, 512]."""
+    return max(_IVF_KMIN, min(-(-n // _IVF_TARGET_BUCKET), _IVF_KMAX))
+
+
+def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic fixed-point Lloyd's kmeans over a hash-chosen sample.
+
+    Sample = the _IVF_SAMPLE rows with smallest (md5(vec_id), vec_id) — a
+    deterministic, engine-portable pseudo-random draw. Seeds = the first k
+    sample rows in that order. _IVF_ITERS rounds of: integer-L2 argmin
+    assignment (ties → lowest cid), centroid := floor(sum/count) per
+    dimension (empty cluster keeps its previous centroid). All arithmetic is
+    exact (int64 sums < 2^53), so numpy here and DuckDB's unrolled CTE replay
+    in Q15/Q18's oracles produce identical centroids and buckets.
+    """
+    if sf_dir in _IVF_MEMO:
+        return _IVF_MEMO[sf_dir]
+    import numpy as np
+
+    emb = _quantized_emb(spark, sf_dir)
+    n = emb.count()
+    k = ivf_k_for(n)
+    rows = (
+        emb.select("vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_SAMPLE)
+        .collect()
+    )
+    pts = np.array([r["qv"] for r in rows], dtype=np.int64)
+    cents = pts[:k].copy()
+    for _ in range(_IVF_ITERS):
+        dists = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)  # first-min == lowest cid on ties
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                s = pts[mask].sum(axis=0, dtype=np.int64)
+                cents[c] = np.floor(s.astype(np.float64) / mask.sum()).astype(np.int64)
+    out = [[int(x) for x in c] for c in cents]
+    _IVF_MEMO[sf_dir] = out
+    return out
 
 
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings → (vec_id, v, bucket) via nearest-of-k-seeds coarse
-    quantization. The k seed vectors are collected to the driver (k rows —
-    at real scale this is the kmeans centroid table, always driver-small)
-    and embedded as a literal array, so assignment is a narrow per-row map:
-    no crossJoin row explosion, no window shuffle."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
-    )
-    seed_rows = sorted(
-        emb.filter(F.col("vec_id") < _IVF_SEEDS).collect(), key=lambda r: r["vec_id"]
-    )
-    seeds_lit = F.array(
+    """embeddings → (vec_id, v, vn, bucket) via nearest-trained-centroid
+    coarse quantization (see train_ivf_centroids)."""
+    cents = train_ivf_centroids(spark, sf_dir)
+    cents_lit = F.array(
         *[
             F.struct(
-                F.lit(int(r["vec_id"])).cast("long").alias("seed_id"),
-                F.array(*[F.lit(float(x)) for x in r["v"]]).alias("sv"),
+                F.lit(i).cast("long").alias("cid"),
+                F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("cv"),
             )
-            for r in seed_rows
+            for i, c in enumerate(cents)
         ]
     )
     return (
-        emb.withColumn("seeds", seeds_lit)
+        _quantized_emb(spark, sf_dir)
+        .withColumn("cents", cents_lit)
         .withColumn("bucket", F.expr(_IVF_ASSIGN_EXPR))
         # pre-normalized vectors: downstream pairwise cosine becomes a plain
         # dot product — O(d) per pair instead of O(3d) (norms otherwise get
@@ -601,6 +664,64 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "v", "vn", "bucket")
     )
+
+
+def _ivf_sql_ctes() -> str:
+    """DuckDB CTE chain replaying train_ivf_centroids + full-table assignment
+    bit-exactly (integer arithmetic throughout — see trainer docstring).
+    Yields CTEs: e(vec_id, v, qv), assigned(vec_id, v, bucket)."""
+    sqdist = (
+        "list_sum(list_transform(generate_series(1, len({a}.qv)), "
+        "i -> ({a}.qv[i] - {c}.cv[i]) * ({a}.qv[i] - {c}.cv[i])))"
+    )
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+params AS (
+  SELECT GREATEST({_IVF_KMIN}, LEAST(CAST(CEIL(COUNT(*) / {_IVF_TARGET_BUCKET}.0) AS BIGINT), {_IVF_KMAX})) AS k
+  FROM e),
+samp AS (
+  SELECT vec_id, qv, rn FROM (
+    SELECT vec_id, qv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM e) WHERE rn <= {_IVF_SAMPLE}),
+cent0 AS (SELECT rn - 1 AS cid, qv AS cv FROM samp, params WHERE rn <= k)"""
+    ]
+    prev = "cent0"
+    for t in range(1, _IVF_ITERS + 1):
+        parts.append(
+            f"""assign{t} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT s.vec_id, s.qv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {sqdist.format(a='s', c='c')} ASC, c.cid ASC) AS rk
+    FROM samp s, {prev} c) WHERE rk = 1),
+newc{t} AS (
+  SELECT cid, list(CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) ORDER BY dim) AS cv
+  FROM (
+    SELECT a.cid, d.i AS dim, SUM(a.qv[d.i]) AS sm, COUNT(*) AS cnt
+    FROM assign{t} a, LATERAL (SELECT unnest(generate_series(1, len(a.qv))) AS i) d
+    GROUP BY a.cid, d.i) GROUP BY cid),
+cent{t} AS (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN newc{t} n ON n.cid = p.cid)"""
+        )
+        prev = f"cent{t}"
+    parts.append(
+        f"""assigned AS (
+  SELECT vec_id, v, cid AS bucket FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sqdist.format(a='e', c='c')} ASC, c.cid ASC) AS rk
+    FROM e, {prev} c) WHERE rk = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+_IVF_CTES = _ivf_sql_ctes()
 
 
 def q15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,16 +742,7 @@ def q15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q15_SQL = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_IVF_SEEDS}),
-assigned AS (
-  SELECT vec_id, v, seed_id AS bucket FROM (
-    SELECT e.vec_id, e.v, s.seed_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, s.sv) DESC, s.seed_id ASC) AS rk
-    FROM e, seeds s
-  ) WHERE rk = 1
-),
+WITH {_IVF_CTES},
 q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM assigned WHERE vec_id % 50 = 0)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
   SELECT q.query_id, a.vec_id,
@@ -879,16 +991,7 @@ def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_IVF_SEEDS}),
-assigned AS (
-  SELECT vec_id, v, seed_id AS bucket FROM (
-    SELECT e.vec_id, e.v, s.seed_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.v, s.sv) DESC, s.seed_id ASC) AS rk
-    FROM e, seeds s
-  ) WHERE rk = 1
-)
+WITH {_IVF_CTES}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35
