@@ -31,7 +31,6 @@ from img2table_spark.kernels.document import extract_image_tables
 from img2table_spark.kernels.hocr import parse_hocr_pages
 from img2table_spark.kernels.html_io import extracted_table_html
 from img2table_spark.kernels.objects import Table
-from img2table_spark.kernels.pdf_doc import extract_pdf_tables_from_bytes
 from img2table_spark.kernels.xlsx import tables_to_xlsx_bytes
 
 
@@ -220,13 +219,11 @@ class PDF:
         if pages is not None:
             if not isinstance(pages, list) or not all(isinstance(p, int) for p in pages):
                 raise TypeError(f"Invalid type {type(pages)} for pages argument")
-        if detect_rotation:
-            raise NotImplementedError(
-                "detect_rotation on PDFs requires page rendering with glyphs; "
-                "not supported by the vector-native path"
-            )
+        if not isinstance(detect_rotation, bool):
+            raise TypeError(f"Invalid type {type(detect_rotation)} for detect_rotation argument")
         self.bytes = _read_src(src)
         self.pages = sorted(pages) if pages is not None else None
+        self.detect_rotation = detect_rotation
 
     def extract_tables(
         self,
@@ -236,46 +233,37 @@ class PDF:
         borderless_tables: bool = False,
         min_confidence: int = 50,
     ) -> dict[int, list[ExtractedTable]]:
-        from img2table_spark.kernels.pdf_doc import extract_scanned_pdf_tables
-        from img2table_spark.kernels.pdf_native import PdfDocument, interpret_page
+        from img2table_spark.kernels.pdf_doc import extract_pdf_tables_auto
+        from img2table_spark.kernels.pdf_native import PdfDocument
 
         doc = PdfDocument(self.bytes)
         n = len(doc.pages())
         req = self.pages if self.pages is not None else list(range(n))
         req = [p for p in req if 0 <= p < n]
-        has_text = any(
-            len(interpret_page(doc, doc.pages()[p])[0]) > 0 for p in req
+        # Route selection is PER PAGE (reference renders/extracts each page
+        # independently, document/pdf.py:46-67): text-layer pages take the
+        # vector-native path — or the glyph-rendered pixel path when a
+        # pixel-only flag (borderless_tables / detect_rotation) is set —
+        # while scanned pages always take the raster-composition path, so a
+        # mixed PDF extracts from both kinds. On unrotated text pages the
+        # page's own text layer wins over a user-passed `ocr` (PdfOCR
+        # semantics, document/pdf.py get_table_content); `ocr` words apply
+        # to scanned and rotation-corrected pages.
+        words_by_page = (
+            {p: ocr.words_for_page(i) for i, p in enumerate(req)}
+            if ocr is not None
+            else None
         )
-        if has_text:
-            # text-layer present: the reference ignores a user-passed `ocr`
-            # here too (PdfOCR wins, document/pdf.py get_table_content)
-            if borderless_tables:
-                raise NotImplementedError(
-                    "borderless_tables on text-layer PDFs requires glyph "
-                    "rasterization; supported only for scanned pages"
-                )
-            per_page = extract_pdf_tables_from_bytes(
-                self.bytes,
-                pages=req,
-                implicit_rows=implicit_rows,
-                implicit_columns=implicit_columns,
-                min_confidence=min_confidence,
-            )
-        else:
-            words_by_page = (
-                {p: ocr.words_for_page(i) for i, p in enumerate(req)}
-                if ocr is not None
-                else None
-            )
-            per_page = extract_scanned_pdf_tables(
-                self.bytes,
-                pages=req,
-                implicit_rows=implicit_rows,
-                implicit_columns=implicit_columns,
-                borderless_tables=borderless_tables,
-                min_confidence=min_confidence,
-                words_by_page=words_by_page,
-            )
+        per_page, _ = extract_pdf_tables_auto(
+            self.bytes,
+            pages=req,
+            implicit_rows=implicit_rows,
+            implicit_columns=implicit_columns,
+            borderless_tables=borderless_tables,
+            min_confidence=min_confidence,
+            detect_rotation=self.detect_rotation,
+            words_by_page=words_by_page,
+        )
         return {
             i: [ExtractedTable(tb) for tb in tbls] for i, tbls in enumerate(per_page)
         }

@@ -457,3 +457,98 @@ def encode_jpeg_progressive(img: np.ndarray, qval: int = 2, subsample: bool = Fa
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ----------------------------------------------------------- text-layer PDF
+
+def build_text_pdf(pages) -> bytes:
+    """Synthetic TEXT-LAYER PDF fixture: ``pages`` is a list of
+    (page_w, page_h, content_stream_bytes, images); images are RGB arrays
+    registered as /Im1../ImN on that page. One shared widthless /Helvetica
+    font (glyph advances fall back to FontInfo.default_width). Used by the
+    pdf-rendered tests and the q14 driver corpus to exercise borderless /
+    mixed-page routing on native-text documents."""
+    page_entries, streams = [], []
+    n_next = 4  # 1=catalog 2=pages 3=font
+    for (w, h, content, images) in pages:
+        img_ids = list(range(n_next, n_next + len(images)))
+        n_next += len(images)
+        cont_id, page_id = n_next, n_next + 1
+        n_next += 2
+        xent = " ".join(f"/Im{i + 1} {oid} 0 R" for i, oid in enumerate(img_ids))
+        res = "/Font << /F1 3 0 R >>" + (f" /XObject << {xent} >>" if img_ids else "")
+        page_entries.append(
+            (page_id,
+             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:.4f} {h:.4f}] "
+             f"/Resources << {res} >> /Contents {cont_id} 0 R >>")
+        )
+        streams.append((cont_id, None, content))
+        for oid, img in zip(img_ids, images):
+            hp, wp, _ = img.shape
+            streams.append(
+                (oid,
+                 f"/Type /XObject /Subtype /Image /Width {wp} /Height {hp} "
+                 "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+                 zlib.compress(img.tobytes()))
+            )
+    kids = " ".join(f"{pid} 0 R" for pid, _ in page_entries)
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {len(page_entries)} >>".encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    bodies.update({pid: body.encode() for pid, body in page_entries})
+    stream_map = {oid: (d, data) for oid, d, data in streams}
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    max_id = n_next - 1
+    for num in range(1, max_id + 1):
+        offsets[num] = len(out)
+        if num in bodies:
+            out += f"{num} 0 obj\n".encode() + bodies[num] + b"\nendobj\n"
+        else:
+            d, data = stream_map[num]
+            dict_str = (f"{d} /Length {len(data)}") if d else f"/Length {len(data)}"
+            out += f"{num} 0 obj\n<< {dict_str} >>\nstream\n".encode()
+            out += data + b"\nendstream\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {max_id + 1}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, max_id + 1):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {max_id + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF".encode()
+    )
+    return bytes(out)
+
+
+def pdf_text_op(x: float, y: float, s: str, size: float = 11) -> str:
+    esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    return f"BT /F1 {size} Tf {x:.2f} {y:.2f} Td ({esc}) Tj ET"
+
+
+def pdf_rect_op(x: float, y: float, w: float, h: float) -> str:
+    return f"{x:.2f} {y:.2f} {w:.2f} {h:.2f} re f"
+
+
+def build_borderless_text_pdf() -> bytes:
+    """Letter page with a 13pt heading, a 7x4 word grid with NO rules
+    (expected: one borderless 7x4 table), and a varied running-text block."""
+    ops = [pdf_text_op(90, 730, "Quarterly results overview", size=13)]
+    headers = ["Metric", "BaselineQ", "TreatmentQ", "DeltaPct"]
+    col_x = [90, 220, 350, 480]
+    rows = [headers] + [
+        [f"row{r}metric", f"{100 + r}", f"{200 + r}", f"{r}.5"] for r in range(1, 7)
+    ]
+    for r, vals in enumerate(rows):
+        for x, v in zip(col_x, vals):
+            ops.append(pdf_text_op(x, 700 - r * 22, v))
+    prose = [
+        "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua enim",
+        "ad minim veniam quis nostrud exercitation ullamco laboris nisi",
+        "ut aliquip ex ea commodo consequat duis aute irure dolor in",
+    ]
+    for i, line in enumerate(prose):
+        ops.append(pdf_text_op(90, 480 - i * 16, line))
+    return build_text_pdf([(612, 792, "\n".join(ops).encode(), [])])

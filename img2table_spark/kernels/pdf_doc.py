@@ -400,26 +400,45 @@ def extract_pdf_tables_from_bytes(
 
 def extract_pdf_payload(text: str) -> list[Table]:
     """Spark-UDF entry: base64 PDF → flat table list (pages concatenated in
-    order, per-turn output contract)."""
+    order, per-turn output contract).
+
+    Two payload shapes, mirroring the image payload envelope:
+      - plain base64 PDF → defaults (implicit_rows=True)
+      - JSON ``{"pdf": b64, "implicit_rows"/"implicit_columns"/
+        "borderless_tables"/"detect_rotation": bool}`` → per-page routed
+        extraction with pixel-path flags honored on text-layer pages too
+        (reference runs every flag uniformly — document/base/__init__.py:115-130).
+    """
+    import json as _json
+
     from img2table_spark.operators.extract import PayloadError
 
+    opts = {
+        "implicit_rows": True,
+        "implicit_columns": False,
+        "borderless_tables": False,
+        "detect_rotation": False,
+    }
+    payload = text.strip()
+    if payload.startswith("{"):
+        try:
+            obj = _json.loads(payload)
+            payload = obj["pdf"]
+            for k in opts:
+                if k in obj:
+                    opts[k] = bool(obj[k])
+        except (_json.JSONDecodeError, KeyError, TypeError) as exc:
+            raise PayloadError(f"invalid PDF JSON payload: {exc}") from exc
+
     try:
-        data = base64.b64decode(text, validate=True)
+        data = base64.b64decode(payload, validate=True)
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF header")
     except (binascii.Error, ValueError) as exc:
         raise PayloadError(f"invalid PDF payload: {exc}") from exc
 
     try:
-        pages = extract_pdf_tables_from_bytes(data, implicit_rows=True)
-        if all(len(p) == 0 for p in pages):
-            doc = PdfDocument(data)
-            has_text = any(
-                len(interpret_page(doc, pg)[0]) > 0 for pg in doc.pages()
-            )
-            if not has_text:
-                # image-only PDF → raster path over embedded scans
-                pages = extract_scanned_pdf_tables(data, implicit_rows=True)
+        pages, _ = extract_pdf_tables_auto(data, **opts)
     except PdfError as exc:
         raise PayloadError(f"unsupported PDF: {exc}") from exc
     return [tb for page in pages for tb in page]
@@ -554,6 +573,159 @@ def rasterize_pdf_page(doc: PdfDocument, page: dict) -> "np.ndarray | None":
     return canvas
 
 
+#: typographic ink model — per-char-class vertical extents as em fractions
+#: around the baseline (standard Latin metrics: cap ≈ 0.72 em, x-height
+#: ≈ 0.50 em, descender ≈ 0.21 em). Filled boxes at these heights give the
+#: pixel pipeline realistic inter-line whitespace (implicit rows, RLSA,
+#: borderless row detection) that a full ascent↔descent slab would crush.
+_GLYPH_DESCENDERS = set("gjpqy")
+_GLYPH_XHEIGHT = set("acemnorsuvwxz")
+_GLYPH_BASE_PUNCT = set(".,;:_")
+_GLYPH_TOP_PUNCT = set("'\"`^~")
+_GLYPH_MID_PUNCT = set("-–—=*+<>")
+#: ink width as a fraction of the advance width: real glyph ink is narrower
+#: than its advance (side bearings), and char_length statistics (metrics.py
+#: bincount over CC widths) are computed from ink, not advances.
+_GLYPH_NARROW = set("iljft1|!.,;:'\"`()[]{}")
+_GLYPH_WIDE = set("mwMW%@")
+
+
+def _glyph_ink_width_frac(ch: str) -> float:
+    if ch in _GLYPH_NARROW:
+        return 0.35
+    if ch in _GLYPH_WIDE:
+        return 0.85
+    return 0.62
+
+
+def _glyph_ink_span(ch: str, baseline: float, em: float) -> tuple[float, float]:
+    """(top, bottom) of the filled ink box in top-down pixel coords."""
+    if ch in _GLYPH_XHEIGHT:
+        return baseline - 0.50 * em, baseline
+    if ch in _GLYPH_DESCENDERS:
+        return baseline - 0.50 * em, baseline + 0.21 * em
+    if ch in _GLYPH_BASE_PUNCT:
+        return baseline - 0.12 * em, baseline + (0.10 * em if ch in ",;" else 0.0)
+    if ch in _GLYPH_TOP_PUNCT:
+        return baseline - 0.72 * em, baseline - 0.45 * em
+    if ch in _GLYPH_MID_PUNCT:
+        return baseline - 0.40 * em, baseline - 0.22 * em
+    # ascenders, capitals, digits, brackets, everything else: full height
+    return baseline - 0.72 * em, baseline
+
+
+def render_pdf_text_page(doc: PdfDocument, page: dict) -> "np.ndarray | None":
+    """200-DPI render of a TEXT-LAYER page for pipelines that need pixels
+    (borderless detection L1–L12, rotation S3): image XObjects through their
+    CTMs, vector rects/segments, then one filled rectangle per non-space
+    glyph sized by the typographic ink model above, with a 1-px right gap so
+    thresholded connected components stay per-char (char_length, RLSA and
+    whitespace statistics then approximate real glyph ink).
+
+    From-scratch equivalent of the reference's pdfium whole-page render
+    (document/pdf.py:46-67); exact glyph outlines are not reproduced, but
+    every downstream consumer reads only ink EXTENT statistics (contours,
+    RLSA runs, whitespace gaps), which the model preserves."""
+    media = [float(doc.resolve(v)) for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
+    page_h = media[3] - media[1]
+    cw = int(round((media[2] - media[0]) * SCALE))
+    ch = int(round(page_h * SCALE))
+    if cw <= 0 or ch <= 0 or cw * ch > _MAX_CANVAS_PX:
+        return None
+    chars, rects, placements = interpret_page_full(doc, page)
+    canvas = np.full((ch, cw, 3), 255, dtype=np.uint8)
+    for ref, ctm in placements:
+        img = _decode_xobject_image(doc, ref)
+        if img is not None:
+            _draw_affine_image(canvas, img, ctm, media)
+    if rects:
+        _draw_vector_rects(canvas, rects, media)
+    for c in chars_to_pixel(chars, page_h):
+        if c[0].strip() == "":
+            continue
+        iy1, iy2 = c[5], c[6]
+        cx = 0.5 * (c[1] + c[3])
+        half_w = 0.5 * _glyph_ink_width_frac(c[0]) * max(1, c[3] - c[1])
+        x1 = int(round(cx - half_w))
+        x2 = max(x1 + 1, min(int(round(cx + half_w)), c[3] - 1))
+        # tight ink box spans descent..ascent (≈ -0.25..0.75 em): baseline
+        # sits ascent/(ascent-descent) ≈ 0.75 of the way down, em ≈ its height
+        em = iy2 - iy1
+        baseline = iy1 + 0.75 * em
+        top, bot = _glyph_ink_span(c[0], baseline, em)
+        y1 = int(round(top))
+        y2 = max(y1 + 1, int(round(bot)))
+        canvas[max(0, y1) : min(ch, y2), max(0, x1) : min(cw, x2)] = 0
+    return canvas
+
+
+def extract_text_pdf_tables_rendered(
+    data: bytes,
+    implicit_rows: bool = False,
+    implicit_columns: bool = False,
+    borderless_tables: bool = False,
+    min_confidence: int = 50,
+    pages: list[int] | None = None,
+    detect_rotation: bool = False,
+    words_by_page: "dict[int, pd.DataFrame] | None" = None,
+) -> "tuple[list[list[Table]], bool]":
+    """Pixel path for text-layer pages — the reference renders EVERY page and
+    runs the image pipeline (document/pdf.py:46-67, base/__init__.py:115-130);
+    this is the route for flags the vector-native path cannot express
+    (borderless_tables, detect_rotation).
+
+    Words come from the page's own text layer (PdfOCR analog, pixel space)
+    UNLESS the page was rotation-corrected: the reference skips PdfOCR on
+    rotated documents (document/pdf.py:69-77 ``_rotated`` guard) because the
+    text-layer coordinates no longer match the fixed image — caller-provided
+    OCR words in ``words_by_page`` are used there instead.
+
+    Returns (per-page tables, any_page_rotated)."""
+    from img2table_spark.kernels.document import extract_image_tables
+
+    doc = PdfDocument(data)
+    out: list[list[Table]] = []
+    any_rotated = False
+    for page_idx, page in enumerate(doc.pages()):
+        if pages is not None and page_idx not in pages:
+            continue
+        canvas = render_pdf_text_page(doc, page)
+        if canvas is None:
+            out.append([])
+            continue
+        rotated = False
+        if detect_rotation:
+            from img2table_spark.kernels.rotation import fix_rotation_image
+
+            canvas, rotated = fix_rotation_image(canvas)
+            any_rotated = any_rotated or rotated
+        if rotated:
+            words = (words_by_page or {}).get(page_idx)
+        else:
+            media = [
+                float(doc.resolve(v))
+                for v in doc.resolve(page.get("MediaBox", [0, 0, 612, 792]))
+            ]
+            chars, _ = interpret_page(doc, page)
+            word_dicts = cluster_words(
+                chars_to_pixel(chars, media[3] - media[1]), page_idx
+            )
+            words = pd.DataFrame(word_dicts, columns=WORD_COLUMNS)
+            if not len(words):
+                words = None
+        out.append(
+            extract_image_tables(
+                canvas,
+                words=words,
+                implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+                borderless_tables=borderless_tables,
+                min_confidence=min_confidence,
+            )
+        )
+    return out, any_rotated
+
+
 def extract_scanned_pdf_tables(
     data: bytes,
     implicit_rows: bool = False,
@@ -562,6 +734,7 @@ def extract_scanned_pdf_tables(
     min_confidence: int = 50,
     pages: list[int] | None = None,
     words_by_page: "dict[int, pd.DataFrame] | None" = None,
+    detect_rotation: bool = False,
 ) -> list[list["Table"]]:
     """Raster path for image-only PDF pages: compose the page's image
     XObjects (plus vector overlays) onto a 200-DPI canvas via their CTMs and
@@ -588,6 +761,75 @@ def extract_scanned_pdf_tables(
             implicit_columns=implicit_columns,
             borderless_tables=borderless_tables,
             min_confidence=min_confidence,
+            detect_rotation=detect_rotation,
         )
         out.append(tables)
     return out
+
+
+def extract_pdf_tables_auto(
+    data: bytes,
+    implicit_rows: bool = False,
+    implicit_columns: bool = False,
+    borderless_tables: bool = False,
+    min_confidence: int = 50,
+    pages: list[int] | None = None,
+    detect_rotation: bool = False,
+    words_by_page: "dict[int, pd.DataFrame] | None" = None,
+) -> "tuple[list[list[Table]], bool]":
+    """Per-PAGE route selection — the reference renders and extracts every
+    page individually (document/pdf.py:46-67), so a mixed PDF (text page +
+    scanned page) must not let one text page route the whole document:
+
+      - page has no text layer          → raster composition pipeline
+      - page has text, pixel-only flags → glyph-rendered pixel pipeline
+        (borderless_tables / detect_rotation)
+      - page has text, default flags    → exact vector-native path
+
+    Each underlying path is invoked at most once with its page subset (one
+    PDF parse per path, not per page). Output pages are merged back in
+    ascending page order; returns (per-page tables, any_page_rotated)."""
+    doc = PdfDocument(data)
+    n = len(doc.pages())
+    req = sorted(p for p in (pages if pages is not None else range(n)) if 0 <= p < n)
+    text_pages = [
+        p for p in req if len(interpret_page(doc, doc.pages()[p])[0]) > 0
+    ]
+    scan_pages = [p for p in req if p not in set(text_pages)]
+    by_page: dict[int, list[Table]] = {}
+    any_rotated = False
+    if text_pages:
+        if borderless_tables or detect_rotation:
+            rendered, any_rotated = extract_text_pdf_tables_rendered(
+                data,
+                implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+                borderless_tables=borderless_tables,
+                min_confidence=min_confidence,
+                pages=text_pages,
+                detect_rotation=detect_rotation,
+                words_by_page=words_by_page,
+            )
+            by_page.update(zip(text_pages, rendered))
+        else:
+            vec = extract_pdf_tables_from_bytes(
+                data,
+                implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+                min_confidence=min_confidence,
+                pages=text_pages,
+            )
+            by_page.update(zip(text_pages, vec))
+    if scan_pages:
+        scanned = extract_scanned_pdf_tables(
+            data,
+            implicit_rows=implicit_rows,
+            implicit_columns=implicit_columns,
+            borderless_tables=borderless_tables,
+            min_confidence=min_confidence,
+            pages=scan_pages,
+            words_by_page=words_by_page,
+            detect_rotation=detect_rotation,
+        )
+        by_page.update(zip(scan_pages, scanned))
+    return [by_page[p] for p in req], any_rotated

@@ -1155,6 +1155,35 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "image/png", ts,
             )
         )
+        # text-layer-PDF pixel-path payload (S2 glyph rendering + L stack in
+        # the driver gate): test.pdf with borderless+rotation flags routes
+        # through the glyph-rendered pixel pipeline and must still find the
+        # four bordered tables (pinned by tests/test_pdf_rendered.py)
+        rows.append(
+            (
+                "pdfblconv0", 22, "assistant",
+                _json.dumps(
+                    {"pdf": pdf_b64, "implicit_rows": True,
+                     "borderless_tables": True, "detect_rotation": True}
+                ),
+                "application/pdf", ts,
+            )
+        )
+        # borderless TEXT-GRID pdf payload: a native-text page whose 7×4
+        # word grid has no rules at all — only the glyph-rendered borderless
+        # pipeline can find it (tests/test_pdf_rendered.py pins the content)
+        from img2table_spark.kernels.encoders import build_borderless_text_pdf
+
+        rows.append(
+            (
+                "pdfblconv1", 23, "assistant",
+                _json.dumps(
+                    {"pdf": base64.b64encode(build_borderless_text_pdf()).decode(),
+                     "borderless_tables": True, "implicit_rows": False}
+                ),
+                "application/pdf", ts,
+            )
+        )
         # non-PNG codec payloads: the same test image re-encoded as BMP,
         # LZW-predictor TIFF, and progressive JPEG (SOF2) — certifies the
         # bmp/tiff/progressive decoders in the driver's hard gate

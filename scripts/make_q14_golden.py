@@ -4,26 +4,44 @@ q14's pixel pipeline is not SQL-expressible, so its DuckDB oracle is a
 SELECT over this golden. The golden is only trustworthy because the kernels
 it exercises are pinned by the reference's own fixtures in the pytest suite
 (expected.xlsx values, expected_tables.json bboxes, HTML byte-equality) —
-so the workflow is:
+so this script ENFORCES the workflow instead of documenting it: it runs the
+full pytest golden suite first and refuses to write unless it exits 0
+(`--skip-pytest` bypasses only when the suite verifiably just ran, e.g.
+inside CI that ran it as the previous step). The generating commit hash and
+suite result are recorded in tests/golden/q14_cells.provenance.json so the
+golden's lineage is auditable.
 
-    python -m pytest -x -q            # MUST be green first
-    python scripts/make_q14_golden.py # then regenerate
-
-Run this whenever a CV kernel changes. The script refuses to write if the
-q14 corpus is empty (reference fixtures missing).
+Run this whenever a CV kernel or the q14 corpus changes.
 """
 
 from __future__ import annotations
 
+import json
+import subprocess
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-GOLDEN = Path(__file__).resolve().parent.parent / "tests" / "golden" / "q14_cells.parquet"
+ROOT = Path(__file__).resolve().parent.parent
+GOLDEN = ROOT / "tests" / "golden" / "q14_cells.parquet"
+PROVENANCE = ROOT / "tests" / "golden" / "q14_cells.provenance.json"
 
 
 def main() -> int:
+    skip_pytest = "--skip-pytest" in sys.argv
+    if skip_pytest:
+        pytest_result = "skipped (--skip-pytest)"
+    else:
+        print("running golden suite (required before regenerating) ...")
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q"], cwd=ROOT
+        )
+        if proc.returncode != 0:
+            print("pytest suite NOT green — refusing to write the golden")
+            return 1
+        pytest_result = "green"
+
     from img2table_spark.queries import q14_image_extract
     from img2table_spark.session import get_spark
 
@@ -38,7 +56,29 @@ def main() -> int:
     pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
     GOLDEN.parent.mkdir(parents=True, exist_ok=True)
     pdf.to_parquet(GOLDEN, index=False)
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True, text=True
+    ).stdout.strip()
+    dirty = bool(
+        subprocess.run(
+            ["git", "status", "--porcelain"], cwd=ROOT, capture_output=True, text=True
+        ).stdout.strip()
+    )
+    PROVENANCE.write_text(
+        json.dumps(
+            {
+                "generating_commit": commit or "unknown",
+                "working_tree_dirty": dirty,
+                "pytest_suite": pytest_result,
+                "rows": int(len(pdf)),
+            },
+            indent=2,
+        )
+        + "\n"
+    )
     print(f"wrote {len(pdf)} rows → {GOLDEN}")
+    print(f"provenance → {PROVENANCE}")
     return 0
 
 

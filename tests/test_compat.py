@@ -130,10 +130,24 @@ def test_pdf_tables(ref_tests):
     assert list(r1.keys()) == [0]
     assert r1[0][0].title == "Example of Data Table 3"
 
-    # loud (not silent) parity gaps
-    import pytest as _pytest
+    # pixel-path flags on text-layer PDFs (glyph-rendered pages — reference
+    # renders every page and runs the image pipeline uniformly,
+    # document/pdf.py:46-67): borderless mode still finds the four BORDERED
+    # tables with exact content, and detect_rotation on an unrotated
+    # document is a no-op relative to the default path.
+    res_bl = pdf.extract_tables(implicit_rows=True, borderless_tables=True)
+    assert [t.title for t in res_bl[0]] == [
+        "Example of Data Table 1", "Example of Data Table 2"
+    ]
+    assert [t.title for t in res_bl[1]] == [
+        "Example of Data Table 3", "Example of Data Table 4"
+    ]
+    for page in (0, 1):
+        for t_bl, t_vec in zip(res_bl[page], result[page]):
+            assert t_bl.df.equals(t_vec.df)
 
-    with _pytest.raises(NotImplementedError):
-        pdf.extract_tables(borderless_tables=True)
-    with _pytest.raises(NotImplementedError):
-        PDF(src=str(ref_tests / "document/pdf/test_data/test.pdf"), detect_rotation=True)
+    rot = PDF(src=str(ref_tests / "document/pdf/test_data/test.pdf"), detect_rotation=True)
+    res_rot = rot.extract_tables(implicit_rows=True)
+    assert [t.title for t in res_rot[0]] == [t.title for t in result[0]]
+    for t_r, t_v in zip(res_rot[0], result[0]):
+        assert t_r.df.equals(t_v.df)
