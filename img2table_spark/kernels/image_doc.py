@@ -26,10 +26,11 @@ class ImageDecodeError(ValueError):
 
 def decode_image_bytes(data: bytes):
     """Magic-sniffing decode: PNG / JPEG (baseline + progressive) / BMP /
-    TIFF / PNM / PFM / Sun raster → RGB uint8 array. The reference accepts
-    anything cv2.imdecode reads (reference document/image.py:25-32); these
-    cover its README input list minus WebP / JPEG-2000 / EXR / HDR
-    (rejected loudly — entropy/wavelet codecs out of from-scratch scope)."""
+    TIFF / PNM / PFM / Sun raster / WebP-VP8L → RGB uint8 array. The
+    reference accepts anything cv2.imdecode reads (reference
+    document/image.py:25-32); these cover its README input list minus lossy
+    WebP (VP8) / JPEG-2000 / EXR / HDR (rejected loudly — DCT/wavelet
+    codecs out of from-scratch scope)."""
     from img2table_spark.kernels.bmp import BMPError, decode_bmp
     from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
     from img2table_spark.kernels.png import PNGError, decode_png
@@ -40,8 +41,11 @@ def decode_image_bytes(data: bytes):
         decode_sun_raster,
     )
     from img2table_spark.kernels.tiff import TIFFError, decode_tiff
+    from img2table_spark.kernels.webp import WebPError, decode_webp
 
     try:
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return decode_webp(data)
         if data[:2] == b"\xff\xd8":
             return decode_jpeg(data)
         if data[:2] == b"BM":
@@ -56,7 +60,7 @@ def decode_image_bytes(data: bytes):
             return decode_pfm(data)
         if data[:4] == b"\x59\xa6\x6a\x95":
             return decode_sun_raster(data)
-    except (PNGError, JPEGError, BMPError, TIFFError, PNMError) as exc:
+    except (PNGError, JPEGError, BMPError, TIFFError, PNMError, WebPError) as exc:
         raise ImageDecodeError(str(exc)) from exc
     raise ImageDecodeError(f"unrecognized image magic {data[:8]!r}")
 

@@ -1185,14 +1185,15 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # non-PNG codec payloads: the same test image re-encoded as BMP,
-        # LZW-predictor TIFF, and progressive JPEG (SOF2) — certifies the
-        # bmp/tiff/progressive decoders in the driver's hard gate
+        # LZW-predictor TIFF, progressive JPEG (SOF2), and lossless WebP
+        # (VP8L) — certifies those decoders in the driver's hard gate
         from img2table_spark.kernels.encoders import (
             encode_bmp24,
             encode_jpeg_progressive,
             encode_tiff,
         )
         from img2table_spark.kernels.png import decode_png
+        from img2table_spark.kernels.webp import encode_webp_vp8l
 
         test_img = decode_png((ref / "tables/image/test_data/test.png").read_bytes())
         for i, (payload, tool) in enumerate(
@@ -1200,6 +1201,7 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (encode_bmp24(test_img), "image/bmp"),
                 (encode_tiff(test_img, compression=5, predictor=2, rows_per_strip=64), "image/tiff"),
                 (encode_jpeg_progressive(test_img, qval=2), "image/jpeg"),
+                (encode_webp_vp8l(test_img), "image/webp"),
             ],
             start=12,
         ):
