@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-query", help="run a registered query (see --list-queries)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table dir for --run-query")
     p.add_argument("--list-queries", action="store_true")
+    p.add_argument(
+        "--reliable-checkpoint-dir",
+        help="set the Spark reliable checkpoint dir (HDFS path on a cluster) "
+        "and run reliable=True variants of queries that support it "
+        "(q16/q23 label propagation: checkpoint() instead of "
+        "localCheckpoint(), surviving executor loss)",
+    )
     args = p.parse_args(argv)
 
     from img2table_spark import queries as q
@@ -50,7 +57,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"unknown query {args.run_query!r}; see --list-queries")
         spark = get_spark(app_name=f"img2table-spark-{args.run_query}", cores=args.cores)
         try:
-            df = fn(spark, args.sf_dir)
+            kwargs = {}
+            if args.reliable_checkpoint_dir:
+                import inspect
+
+                spark.sparkContext.setCheckpointDir(args.reliable_checkpoint_dir)
+                if "reliable" in inspect.signature(fn).parameters:
+                    kwargs["reliable"] = True
+            df = fn(spark, args.sf_dir, **kwargs)
             if args.output:
                 df.write.mode("overwrite").parquet(args.output)
                 print(json.dumps({"query": args.run_query, "output": args.output}))

@@ -173,15 +173,25 @@ def _assemble_value(parts: list) -> str | None:
 # Fast path: a single regex pass over tags driving the SAME handler object —
 # identical state-machine semantics to HTMLParser.feed without goahead()'s
 # per-character scanning (the UDF hot path: ~60% of per-turn CPU was inside
-# html.parser). Inputs with constructs the scanner does not model
-# (comments/doctype/processing instructions) fall back to HTMLParser.
+# html.parser). Inputs with constructs the scanner does not model fall back
+# to HTMLParser: comments/doctype/PI are sniffed up front (_NEEDS_SLOW);
+# anything the scanner leaves unmatched mid-stream — a '<' + letter-or-slash
+# sequence surviving into character data (e.g. '</ td>', unterminated tags)
+# or a <script>/<style> CDATA element whose raw content must not be
+# tag-parsed — aborts the fast pass (_FastFallback) and the caller replays
+# the input through a FRESH HTMLParser.
 _FAST_TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)\s*((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+    r"<(/?)([a-zA-Z][-.a-zA-Z0-9:_]*)\s*((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
 )
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
 )
 _NEEDS_SLOW = ("<!", "<?")
+_UNMATCHED_LT_RE = re.compile(r"<[a-zA-Z/]")
+
+
+class _FastFallback(Exception):
+    """Fast scanner met a construct only HTMLParser models; replay slow."""
 
 
 def _feed_fast(parser: "_TableParser", html: str) -> None:
@@ -192,11 +202,17 @@ def _feed_fast(parser: "_TableParser", html: str) -> None:
     for m in _FAST_TAG_RE.finditer(html):
         if m.start() > pos:
             data = html[pos : m.start()]
+            if "<" in data and _UNMATCHED_LT_RE.search(data):
+                raise _FastFallback
             if "&" in data:
                 data = unescape(data)
             handle_data(data)
         closing, name, attrtext, selfclose = m.groups()
         name = name.lower()
+        if name in ("script", "style"):
+            # HTMLParser switches to CDATA mode here (raw content up to the
+            # matching end tag); the regex scanner cannot
+            raise _FastFallback
         if closing:
             handle_end(name)
         else:
@@ -215,7 +231,10 @@ def _feed_fast(parser: "_TableParser", html: str) -> None:
                 handle_end(name)
         pos = m.end()
     if pos < len(html):
-        handle_data(html[pos:])
+        data = html[pos:]
+        if "<" in data and _UNMATCHED_LT_RE.search(data):
+            raise _FastFallback
+        handle_data(data)
 
 
 def parse_html_tables(html: str) -> list[Table]:
@@ -231,7 +250,13 @@ def parse_html_tables(html: str) -> list[Table]:
         parser.feed(html)
         parser.close()
     else:
-        _feed_fast(parser, html)
+        try:
+            _feed_fast(parser, html)
+        except _FastFallback:
+            # the aborted fast pass mutated parser state — replay fresh
+            parser = _TableParser()
+            parser.feed(html)
+            parser.close()
 
     out: list[Table] = []
     for raw_rows in parser.tables:

@@ -775,9 +775,18 @@ def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> D
     executor-local, fast, fine when executor loss means job retry anyway.
     reliable=True (pipeline-scale path): ``df.checkpoint()`` to the reliable
     checkpoint dir — survives executor loss at cluster scale, where a lost
-    localCheckpoint block would kill the job after hours of rounds. Callers
-    must have set ``spark.sparkContext.setCheckpointDir`` (the pipeline does).
+    localCheckpoint block would kill the job after hours of rounds. The
+    checkpoint dir must be set first (``spark.sparkContext.setCheckpointDir``
+    — ``job.py --run-query ... --reliable-checkpoint-dir DIR`` does, as does
+    tests/test_dedup_reliable.py); a clear error is raised here otherwise
+    instead of Spark's late 'Checkpoint directory has not been set'.
     """
+    if reliable and spark.sparkContext.getCheckpointDir() is None:
+        raise RuntimeError(
+            "reliable=True requires a checkpoint dir: call "
+            "spark.sparkContext.setCheckpointDir(...) first (job.py "
+            "--reliable-checkpoint-dir wires this)"
+        )
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
@@ -1412,8 +1421,10 @@ FROM sess GROUP BY user_id, sess_idx
 # set; at scale Spark broadcasts it automatically.
 # --------------------------------------------------------------------------
 
-def q23_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = _lp_labels(spark, sf_dir)
+def q23_dedup_purge(
+    spark: SparkSession, sf_dir: str, *, reliable: bool = False
+) -> DataFrame:
+    labels = _lp_labels(spark, sf_dir, reliable=reliable)
     drops = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )

@@ -95,3 +95,38 @@ def test_parse_prettified_whitespace():
     html = "<table>\n <tr>\n  <td>\n   Test 1\n  </td>\n </tr>\n</table>"
     [t] = parse_html_tables(html)
     assert t.rows[0][0].content == "Test 1"
+
+
+def test_fast_path_matches_htmlparser_on_nonstandard_markup(monkeypatch):
+    """Constructs the regex scanner does not model must FALL BACK and end up
+    byte-identical to the HTMLParser path (ADVICE r2: hyphenated custom
+    elements, namespaced tags, bogus '</ td>' end tags, <script> CDATA whose
+    raw content must not be tag-parsed, stray unterminated '<')."""
+    import img2table_spark.kernels.html_io as H
+
+    cases = [
+        "<table><tr><td><x-y>q</x-y>a</td></tr></table>",
+        "<table><tr><td>v</ td><td>w</td></tr></table>",
+        '<table><tr><td><script>var t = "<tr><td>fake</td></tr>";</script>x'
+        "</td></tr></table>",
+        "<table><tr><td>a <b < c</td></tr></table>",
+        "<table><tr><td>ns</td></tr></table><ns:tag>t</ns:tag>",
+        "<table><tr><td>A</td><td",  # truncated payload
+    ]
+
+    def flat(html):
+        return [
+            [[c.content for c in row] for row in t.rows]
+            for t in H.parse_html_tables(html)
+        ]
+
+    for html in cases:
+        got = flat(html)
+
+        def force_slow(parser, data):
+            raise H._FastFallback
+
+        monkeypatch.setattr(H, "_feed_fast", force_slow)
+        want = flat(html)
+        monkeypatch.undo()
+        assert got == want, html
