@@ -178,6 +178,83 @@ def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1,
     return bytes(out)
 
 
+def encode_tiff_tiled(img: np.ndarray, tile_w: int = 64, tile_l: int = 64,
+                      compression: int = 1, predictor: int = 1) -> bytes:
+    """RGB array → little-endian TILED TIFF (TIFF 6.0 §15): tiles padded to
+    full (tile_w × tile_l) at the right/bottom edges, left-to-right then
+    top-to-bottom, each compressed independently."""
+    h, w, _ = img.shape
+    if tile_w % 16 or tile_l % 16:
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+    tiles_across = (w + tile_w - 1) // tile_w
+    tiles_down = (h + tile_l - 1) // tile_l
+    tiles = []
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            block = np.zeros((tile_l, tile_w, 3), dtype=np.uint8)
+            part = img[ty * tile_l : (ty + 1) * tile_l,
+                       tx * tile_w : (tx + 1) * tile_w]
+            block[: part.shape[0], : part.shape[1]] = part
+            if predictor == 2:
+                b16 = block.astype(np.int16)
+                b16[:, 1:, :] = b16[:, 1:, :] - b16[:, :-1, :]
+                block = (b16 % 256).astype(np.uint8)
+            raw = block.tobytes()
+            if compression == 5:
+                raw = tiff_lzw_encode(raw)
+            elif compression == 8:
+                raw = zlib.compress(raw)
+            elif compression == 32773:
+                raw = packbits_encode(raw)
+            tiles.append(raw)
+
+    n_tiles = len(tiles)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None), (259, 3, 1, compression),
+        (262, 3, 1, 2), (277, 3, 1, 3), (284, 3, 1, 1), (317, 3, 1, predictor),
+        (322, 3, 1, tile_w), (323, 3, 1, tile_l),
+        (324, 4, n_tiles, None), (325, 4, n_tiles, None),
+    ]
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+
+    def alloc(vals, fmt):
+        off = extra_base + len(extra)
+        extra.extend(struct.pack("<" + fmt * len(vals), *vals))
+        return off
+
+    bps_off = alloc([8, 8, 8], "H")
+    tile_data_base = extra_base + len(extra) + (4 * n_tiles * 2 if n_tiles > 1 else 0)
+    offsets = []
+    pos = tile_data_base
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    counts = [len(t) for t in tiles]
+    if n_tiles > 1:
+        off_off = alloc(offsets, "I")
+        cnt_off = alloc(counts, "I")
+    else:
+        off_off, cnt_off = offsets[0], counts[0]
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if tag == 258:
+            val = bps_off
+        elif tag == 324:
+            val = off_off
+        elif tag == 325:
+            val = cnt_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
 # --------------------------------------------------------- progressive JPEG
 
 class _BitWriter:

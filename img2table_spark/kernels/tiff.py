@@ -3,9 +3,10 @@
 TIFF is the scanned-document interchange format; the reference accepts it
 via cv2.imdecode (reference document/image.py:25-32, README input list).
 Supported: both byte orders, strip-based baseline TIFF — bilevel (1-bit),
-grayscale (8-bit, WhiteIsZero/BlackIsZero), palette, RGB(A); Compression
+grayscale (8-bit, WhiteIsZero/BlackIsZero), palette, RGB(A) — plus TILED
+layout (TIFF 6.0 §15, 8-bit paths) with edge-tile padding; Compression
 none(1) / LZW(5, with early-change and horizontal predictor) / deflate
-(8/32946) / PackBits(32773). Tiled TIFF and JPEG-in-TIFF are rejected
+(8/32946) / PackBits(32773). JPEG-in-TIFF and bilevel tiles are rejected
 loudly — they don't occur in scanner output at baseline conformance.
 """
 
@@ -145,10 +146,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     rows_per_strip = one(278, h)
     offsets = tags.get(273)
     counts = tags.get(279)
-    if one(322) or one(323):
-        raise TIFFError("tiled TIFF unsupported")
+    tile_w, tile_l = one(322), one(323)
+    tiled = bool(tile_w and tile_l)
     if planar != 1:
         raise TIFFError("planar TIFF unsupported")
+    if tiled:
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if offsets is None:
+            raise TIFFError("tiled TIFF without TileOffsets")
     if offsets is None:
         raise TIFFError("missing strips")
     if counts is None:
@@ -167,27 +173,61 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if decomp is None:
         raise TIFFError(f"unsupported TIFF compression {comp}")
 
+    def _undo_predictor(block: bytes, nrows: int, rbytes: int) -> bytes:
+        a = np.frombuffer(block, dtype=np.uint8).copy()
+        usable = (len(a) // rbytes) * rbytes
+        m = a[:usable].reshape(-1, rbytes // spp, spp) if spp > 1 else a[
+            :usable
+        ].reshape(-1, rbytes, 1)
+        np.cumsum(m, axis=1, dtype=np.uint8, out=m)
+        return m.tobytes()
+
     row_bytes = (w * bps[0] * spp + 7) // 8 if bit1 else w * spp
-    raw = bytearray()
-    remaining = h
-    for so, sc in zip(offsets, counts):
-        strip = decomp(data[so : so + sc])
-        nrows = min(rows_per_strip, remaining)
-        strip = strip[: nrows * row_bytes]
-        if predictor == 2 and not bit1:
-            a = np.frombuffer(strip, dtype=np.uint8).copy()
-            usable = (len(a) // row_bytes) * row_bytes
-            m = a[:usable].reshape(-1, row_bytes // spp, spp) if spp > 1 else a[
-                :usable
-            ].reshape(-1, row_bytes, 1)
-            np.cumsum(m, axis=1, dtype=np.uint8, out=m)
-            strip = m.tobytes()
-        raw += strip
-        remaining -= nrows
-    need = h * row_bytes
-    if len(raw) < need:
-        raise TIFFError("truncated strip data")
-    arr = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(h, row_bytes)
+    if tiled:
+        # TIFF 6.0 §15: tiles are (tile_w × tile_l) each, edge tiles padded
+        # to full size, ordered left-to-right then top-to-bottom
+        if bit1:
+            raise TIFFError("bilevel tiled TIFF unsupported")
+        tiles_across = (w + tile_w - 1) // tile_w
+        tiles_down = (h + tile_l - 1) // tile_l
+        if len(offsets) < tiles_across * tiles_down:
+            raise TIFFError("truncated tile offsets")
+        tile_row_bytes = tile_w * spp
+        full = np.zeros((tiles_down * tile_l, tiles_across * tile_row_bytes),
+                        dtype=np.uint8)
+        for ti in range(tiles_across * tiles_down):
+            so, sc = offsets[ti], counts[ti]
+            tile = decomp(data[so : so + sc])
+            if predictor == 2:
+                tile = _undo_predictor(tile, tile_l, tile_row_bytes)
+            need = tile_l * tile_row_bytes
+            if len(tile) < need:
+                raise TIFFError("truncated tile data")
+            ty, tx = divmod(ti, tiles_across)
+            full[
+                ty * tile_l : (ty + 1) * tile_l,
+                tx * tile_row_bytes : (tx + 1) * tile_row_bytes,
+            ] = np.frombuffer(tile[:need], dtype=np.uint8).reshape(
+                tile_l, tile_row_bytes
+            )
+        # crop padding: reshape to pixels, cut to (h, w), back to rows
+        px_full = full.reshape(tiles_down * tile_l, tiles_across * tile_w, spp)
+        arr = np.ascontiguousarray(px_full[:h, :w]).reshape(h, row_bytes)
+    else:
+        raw = bytearray()
+        remaining = h
+        for so, sc in zip(offsets, counts):
+            strip = decomp(data[so : so + sc])
+            nrows = min(rows_per_strip, remaining)
+            strip = strip[: nrows * row_bytes]
+            if predictor == 2 and not bit1:
+                strip = _undo_predictor(strip, nrows, row_bytes)
+            raw += strip
+            remaining -= nrows
+        need = h * row_bytes
+        if len(raw) < need:
+            raise TIFFError("truncated strip data")
+        arr = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(h, row_bytes)
 
     if bit1:
         bits = np.unpackbits(arr, axis=1)[:, :w]

@@ -148,3 +148,26 @@ def test_bmp_tiff_extract_same_golden_tables(test_img):
 def test_progressive_jpeg_extracts_same_golden_tables(test_img):
     data = encode_jpeg_progressive(test_img, qval=2)
     assert _golden_tables(decode_image_bytes(data)) == GOLDEN
+
+
+@pytest.mark.parametrize(
+    "compression,predictor",
+    [(1, 1), (5, 2), (8, 2), (32773, 1)],
+    ids=["none", "lzw-predictor", "deflate-predictor", "packbits"],
+)
+def test_tiff_tiled_roundtrip(test_img, compression, predictor):
+    """TIFF 6.0 §15 tiled layout (TileWidth/TileLength/TileOffsets/
+    TileByteCounts), edge tiles padded to full size."""
+    from img2table_spark.kernels.encoders import encode_tiff_tiled
+
+    data = encode_tiff_tiled(test_img, 64, 64, compression=compression,
+                             predictor=predictor)
+    assert np.array_equal(decode_tiff(data), test_img)
+
+
+def test_tiff_tiled_edge_padding(test_img):
+    crop = test_img[:101, :333]
+    from img2table_spark.kernels.encoders import encode_tiff_tiled
+
+    data = encode_tiff_tiled(crop, 48, 32, compression=5, predictor=2)
+    assert np.array_equal(decode_tiff(data), crop)
