@@ -405,9 +405,12 @@ def extract_pdf_payload(text: str) -> list[Table]:
     Two payload shapes, mirroring the image payload envelope:
       - plain base64 PDF → defaults (implicit_rows=True)
       - JSON ``{"pdf": b64, "implicit_rows"/"implicit_columns"/
-        "borderless_tables"/"detect_rotation": bool}`` → per-page routed
-        extraction with pixel-path flags honored on text-layer pages too
-        (reference runs every flag uniformly — document/base/__init__.py:115-130).
+        "borderless_tables"/"detect_rotation": bool, "pages": [int, ...]}``
+        → per-page routed extraction with pixel-path flags honored on
+        text-layer pages too (reference runs every flag uniformly —
+        document/base/__init__.py:115-130). ``pages`` restricts work to
+        those 0-based indices — at corpus scale, splitting a long document
+        into per-page turns turns one straggler task into parallel work.
     """
     import json as _json
 
@@ -419,6 +422,7 @@ def extract_pdf_payload(text: str) -> list[Table]:
         "borderless_tables": False,
         "detect_rotation": False,
     }
+    pages = None
     payload = text.strip()
     if payload.startswith("{"):
         try:
@@ -427,7 +431,9 @@ def extract_pdf_payload(text: str) -> list[Table]:
             for k in opts:
                 if k in obj:
                     opts[k] = bool(obj[k])
-        except (_json.JSONDecodeError, KeyError, TypeError) as exc:
+            if obj.get("pages") is not None:
+                pages = [int(p) for p in obj["pages"]]
+        except (_json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
             raise PayloadError(f"invalid PDF JSON payload: {exc}") from exc
 
     try:
@@ -438,10 +444,10 @@ def extract_pdf_payload(text: str) -> list[Table]:
         raise PayloadError(f"invalid PDF payload: {exc}") from exc
 
     try:
-        pages, _ = extract_pdf_tables_auto(data, **opts)
+        per_page, _ = extract_pdf_tables_auto(data, pages=pages, **opts)
     except PdfError as exc:
         raise PayloadError(f"unsupported PDF: {exc}") from exc
-    return [tb for page in pages for tb in page]
+    return [tb for page in per_page for tb in page]
 
 
 # ------------------------------------------------- scanned-PDF raster path

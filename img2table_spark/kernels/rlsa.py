@@ -70,7 +70,14 @@ def adaptive_rlsa(cc: np.ndarray, cc_stats: np.ndarray, a: float, th: float, c: 
                 h_overlap = min(y1_cc + height_cc, y1_p + height_p) - max(y1_cc, y1_p)
 
                 window = cc[max(0, row - 2) : min(row + 3, H), prev_pos + 1 : col]
-                no_other = not np.isin(window, [-1, 0, label, prev_label], invert=True).any()
+                # membership test unrolled: np.isin costs ~70µs/call in sort
+                # setup on these tiny windows (55k calls per page)
+                no_other = not (
+                    (window != -1)
+                    & (window != 0)
+                    & (window != label)
+                    & (window != prev_label)
+                ).any()
 
                 if (
                     length <= a * min(height_cc, height_p)

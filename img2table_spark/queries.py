@@ -17,6 +17,8 @@ from __future__ import annotations
 import hashlib as _hashlib
 from pathlib import Path
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve at module scope
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -574,12 +576,6 @@ _IVF_ITERS = 3
 # argmin over the (driver-small, literal) centroid array: exact integer
 # squared-L2 per centroid, best (dist asc, cid asc) picked by struct-ordered
 # array_min — per-row, no row explosion, no window shuffle.
-_IVF_ASSIGN_EXPR = """
-array_min(transform(cents, c -> struct(
-  aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x) AS d,
-  c.cid AS cid))).cid
-"""
-
 _QUANT_EXPR = "transform(embedding, x -> cast(floor(cast(x AS DOUBLE) * 1000000D + 0.5D) AS bigint))"
 
 _IVF_MEMO: dict = {}
@@ -640,21 +636,32 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
 
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings → (vec_id, v, vn, bucket) via nearest-trained-centroid
-    coarse quantization (see train_ivf_centroids)."""
+    coarse quantization (see train_ivf_centroids).
+
+    Assignment is a vectorized Arrow UDF over the BROADCAST codebook — the
+    standard IVF shape. The r2 variant embedded the k×d centroid matrix as
+    plan literals, which bloats every Catalyst tree by k·d nodes (2048 at
+    sf0.1; 10⁵+ at corpus scale where k keeps growing) and re-analyzes it
+    per query; a broadcast closure keeps the plan O(1) regardless of k.
+    Exactness: int64 squared distances, argmin ties → lowest cid (np.argmin
+    returns the first minimum) — bit-identical to the trainer and to the
+    DuckDB CTE replay in the q15/q18 oracles."""
+    import numpy as np
+    import pandas as pd
+
     cents = train_ivf_centroids(spark, sf_dir)
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("cid"),
-                F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    bc = spark.sparkContext.broadcast(np.array(cents, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def nearest_cid(qv: pd.Series) -> pd.Series:
+        C = bc.value  # (k, d)
+        P = np.array(qv.tolist(), dtype=np.int64)  # (batch, d)
+        d2 = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
     return (
         _quantized_emb(spark, sf_dir)
-        .withColumn("cents", cents_lit)
-        .withColumn("bucket", F.expr(_IVF_ASSIGN_EXPR))
+        .withColumn("bucket", nearest_cid(F.col("qv")))
         # pre-normalized vectors: downstream pairwise cosine becomes a plain
         # dot product — O(d) per pair instead of O(3d) (norms otherwise get
         # recomputed for every one of a vector's ~bucket-size partners)
@@ -1164,20 +1171,26 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "image/png", ts,
             )
         )
-        # text-layer-PDF pixel-path payload (S2 glyph rendering + L stack in
+        # text-layer-PDF pixel-path payloads (S2 glyph rendering + L stack in
         # the driver gate): test.pdf with borderless+rotation flags routes
         # through the glyph-rendered pixel pipeline and must still find the
-        # four bordered tables (pinned by tests/test_pdf_rendered.py)
-        rows.append(
-            (
-                "pdfblconv0", 22, "assistant",
-                _json.dumps(
-                    {"pdf": pdf_b64, "implicit_rows": True,
-                     "borderless_tables": True, "detect_rotation": True}
-                ),
-                "application/pdf", ts,
+        # four bordered tables (pinned by tests/test_pdf_rendered.py).
+        # One turn PER PAGE on distinct convs: the pixel stack is the
+        # heaviest per-turn work in the corpus, and page-split turns let the
+        # salt exchange spread it instead of serializing both pages in one
+        # task (the same pattern a 100-TB corpus needs for long documents).
+        for pg in (0, 1):
+            rows.append(
+                (
+                    f"pdfblconv{pg}", 22 + pg * 2, "assistant",
+                    _json.dumps(
+                        {"pdf": pdf_b64, "implicit_rows": True,
+                         "borderless_tables": True, "detect_rotation": True,
+                         "pages": [pg]}
+                    ),
+                    "application/pdf", ts,
+                )
             )
-        )
         # borderless TEXT-GRID pdf payload: a native-text page whose 7×4
         # word grid has no rules at all — only the glyph-rendered borderless
         # pipeline can find it (tests/test_pdf_rendered.py pins the content)
@@ -1185,7 +1198,7 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows.append(
             (
-                "pdfblconv1", 23, "assistant",
+                "pdfgridconv0", 23, "assistant",
                 _json.dumps(
                     {"pdf": base64.b64encode(build_borderless_text_pdf()).decode(),
                      "borderless_tables": True, "implicit_rows": False}
