@@ -136,12 +136,21 @@ def main() -> int:
     low = max(1, cpus // 4)
 
     def measure_pair() -> dict:
+        # window gate: don't start an attempt while the box's own 8→32
+        # scaling ceiling is below the bar — a window where pure-Python
+        # processes can't scale 0.78 can't evidence the engine either.
+        # Bounded wait so sustained load degrades to measuring anyway.
+        gate_deadline = time.time() + min(240, max(0, remaining() - 600))
+        probe = hw_parallel_ceiling(low, cpus)
+        while probe < 0.78 and time.time() < gate_deadline:
+            time.sleep(30)
+            probe = hw_parallel_ceiling(low, cpus)
         # asymmetric trials: co-tenant bursts are one-sided slowdowns, and
         # the high side both suffers more (needs all 32 cores quiet) and
         # costs less per trial — give it more lottery tickets
         r_low = run_extraction_throughput(low, sf_dir, REPEAT, trials=3)
         r_high = run_extraction_throughput(cpus, sf_dir, REPEAT, trials=6)
-        ceils = sorted(hw_parallel_ceiling(low, cpus) for _ in range(3))
+        ceils = sorted([probe] + [hw_parallel_ceiling(low, cpus) for _ in range(2)])
         return {
             "low": r_low,
             "high": r_high,
@@ -156,17 +165,21 @@ def main() -> int:
     # bar while the ceiling says the box could do better), re-measure —
     # up to two extra attempts, budget permitting. The HEADLINE is the best
     # single attempt (max eff): a ratio one run actually measured, per
-    # ADVICE r2 (cross-window min-pairing reported a ratio no run saw).
-    # All attempts are preserved for audit.
+    # ADVICE r2 (cross-window min-pairing reported a ratio no run saw) —
+    # but an attempt whose LOW side ran far above the cleanest observed low
+    # wall is disqualified first: a burst that slows only the 8-core phase
+    # INFLATES its ratio, and an inflated ratio is not evidence.
     attempts = [measure_pair()]
     while (
         len(attempts) < 3
-        and remaining() > 500
+        and remaining() > 430
         and (attempts[-1]["spread"] > 0.15
              or max(a["eff"] for a in attempts) < 0.8)
     ):
         attempts.append(measure_pair())
-    best = max(attempts, key=lambda a: a["eff"])
+    min_low_wall = min(a["low"]["wall_s"] for a in attempts)
+    qualified = [a for a in attempts if a["low"]["wall_s"] <= 1.12 * min_low_wall]
+    best = max(qualified or attempts, key=lambda a: a["eff"])
     r_low, r_high = best["low"], best["high"]
     efficiency = best["eff"]
     ceilings = best["ceils"]
@@ -203,7 +216,8 @@ def main() -> int:
             "efficiency_vs_hw_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
             "attempts": [
                 {"eff": a["eff"], "ceils": a["ceils"], "spread": a["spread"],
-                 "low_wall_s": a["low"]["wall_s"], "high_wall_s": a["high"]["wall_s"]}
+                 "low_wall_s": a["low"]["wall_s"], "high_wall_s": a["high"]["wall_s"],
+                 "qualified": a["low"]["wall_s"] <= 1.12 * min_low_wall}
                 for a in attempts
             ],
             "cross_attempt_floor": {
