@@ -153,3 +153,65 @@ def test_pdf_payload_json_envelope(test_pdf_bytes):
     assert any(
         t.borderless and (t.nb_rows, t.nb_columns) == (7, 4) for t in tables
     )
+
+
+def test_rotated_text_pdf_detect_rotation_with_external_words():
+    """A text-layer PDF whose content is rotated 4° routes through the pixel
+    path with detect_rotation=True: the skew is detected and corrected, the
+    page's own text layer is SKIPPED (its coordinates no longer match the
+    fixed image — reference document/pdf.py _rotated guard), and caller-
+    provided OCR words in words_by_page supply content. The ink model draws
+    axis-aligned boxes of rotated glyph boxes, so the de-rotated grid is
+    blurrier than a real rasterization — the test pins detection + external
+    word assignment, not exact grid shape."""
+    import math
+
+    import pandas as pd
+
+    from img2table_spark.kernels.pdf_doc import (
+        PdfDocument,
+        chars_to_pixel,
+        cluster_words,
+        interpret_page,
+    )
+    from img2table_spark.kernels.text import WORD_COLUMNS
+
+    def grid_ops():
+        ops = [text_op(90, 730, "Quarterly results overview", size=13)]
+        headers = ["Metric", "BaselineQ", "TreatmentQ", "DeltaPct"]
+        col_x = [90, 220, 350, 480]
+        rows = [headers] + [
+            [f"row{r}metric", f"{100 + r}", f"{200 + r}", f"{r}.5"]
+            for r in range(1, 7)
+        ]
+        for r, vals in enumerate(rows):
+            for x, v in zip(col_x, vals):
+                ops.append(text_op(x, 700 - r * 22, v))
+        return ops
+
+    plain = build_text_pdf([(612, 792, "\n".join(grid_ops()).encode(), [])])
+    doc = PdfDocument(plain)
+    chars, _ = interpret_page(doc, doc.pages()[0])
+    words = pd.DataFrame(
+        cluster_words(chars_to_pixel(chars, 792), 0), columns=WORD_COLUMNS
+    )
+
+    a = math.radians(4)
+    c, s = math.cos(a), math.sin(a)
+    cx, cy = 306, 396
+    e, f = cx - c * cx + s * cy, cy - s * cx - c * cy
+    content = (
+        f"q {c:.6f} {s:.6f} {-s:.6f} {c:.6f} {e:.4f} {f:.4f} cm\n"
+        + "\n".join(grid_ops())
+        + "\nQ"
+    )
+    rot_pdf = build_text_pdf([(612, 792, content.encode(), [])])
+    pages, rotated = extract_text_pdf_tables_rendered(
+        rot_pdf, borderless_tables=True, detect_rotation=True,
+        words_by_page={0: words},
+    )
+    assert rotated is True
+    grids = [t for t in pages[0] if t.nb_columns == 4]
+    assert grids, [t.nb_columns for t in pages[0]]
+    contents = [cell.content for t in grids for row in t.rows for cell in row]
+    assert "row1metric" in contents and "201" in contents
