@@ -29,10 +29,11 @@ import numpy as np
 # ----------------------------------------------------------------- grayscale
 
 def rgb2gray(img: np.ndarray) -> np.ndarray:
-    """cv2 RGB2GRAY: fixed-point (R*4899 + G*9617 + B*1868 + 8192) >> 14."""
-    r = img[:, :, 0].astype(np.int64)
-    g = img[:, :, 1].astype(np.int64)
-    b = img[:, :, 2].astype(np.int64)
+    """cv2 RGB2GRAY: fixed-point (R*4899 + G*9617 + B*1868 + 8192) >> 14.
+    int32 suffices (max sum 255·16384 + 8192 < 2³¹) and halves memory traffic."""
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
     return ((r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14).astype(np.uint8)
 
 
@@ -49,14 +50,13 @@ def _box_sum(a: np.ndarray, ky: int, kx: int) -> np.ndarray:
     c = np.cumsum(np.cumsum(p, axis=0), axis=1)
     c = np.pad(c, ((1, 0), (1, 0)))
     H, W = a.shape
-    y0 = np.arange(H)
-    x0 = np.arange(W)
-    # window rows [y0, y0+ky), cols [x0, x0+kx) in padded coords
+    # window rows [y, y+ky), cols [x, x+kx) in padded coords — contiguous
+    # ranges, so plain slices (views) instead of fancy-index gathers
     return (
-        c[np.ix_(y0 + ky, x0 + kx)]
-        - c[np.ix_(y0, x0 + kx)]
-        - c[np.ix_(y0 + ky, x0)]
-        + c[np.ix_(y0, x0)]
+        c[ky : ky + H, kx : kx + W]
+        - c[0:H, kx : kx + W]
+        - c[ky : ky + H, 0:W]
+        + c[0:H, 0:W]
     )
 
 
@@ -180,7 +180,9 @@ def _binary_window_1d(a: np.ndarray, lo: int, hi: int, axis: int, dilate: bool) 
     k = hi - lo + 1
     pad_before = max(0, -lo)
     pad_after = max(0, hi)
-    m = np.moveaxis(a, axis, -1)
+    # contiguous last axis: cumsum over a strided view (axis=0 callers) is
+    # several times slower than the copy it avoids
+    m = np.ascontiguousarray(np.moveaxis(a, axis, -1))
     n = m.shape[-1]
     on = np.empty(m.shape[:-1] + (n + pad_before + pad_after + 1,), dtype=np.int32)
     on[..., 0] = 0

@@ -512,14 +512,32 @@ def _draw_affine_image(canvas: np.ndarray, img: np.ndarray, ctm, media) -> None:
     # target pixel centers → user space → unit square (inverse affine)
     px = (np.arange(x0, x1) + 0.5) / SCALE + media[0]
     py = (ch - (np.arange(y0, y1) + 0.5)) / SCALE + media[1]
+    ih, iw = img.shape[:2]
+    region = canvas[y0:y1, x0:x1]
+    if b == 0.0 and c == 0.0:
+        # axis-aligned placement (the overwhelmingly common case: scans,
+        # logos): u depends on x only, v on y only — O(W+H) index math plus
+        # one 2D gather instead of full-page float64 meshgrids. The 1D
+        # formulas keep the exact float ops of the general case (the zeroed
+        # cross terms contribute exact ±0.0), so pixels are bit-identical.
+        u = (d * (px - e)) / det
+        v = (a * (py - f)) / det
+        in_x = np.nonzero((u >= 0) & (u < 1))[0]
+        in_y = np.nonzero((v >= 0) & (v < 1))[0]
+        if len(in_x) == 0 or len(in_y) == 0:
+            return
+        sx = slice(in_x[0], in_x[-1] + 1)  # u monotonic → contiguous
+        sy = slice(in_y[0], in_y[-1] + 1)
+        src_c = np.clip(np.floor(u[sx] * iw).astype(np.int64), 0, iw - 1)
+        src_r = np.clip(np.floor((1.0 - v[sy]) * ih).astype(np.int64), 0, ih - 1)
+        region[sy, sx] = img[src_r[:, None], src_c[None, :]]
+        return
     X, Y = np.meshgrid(px - e, py - f)
     u = (d * X - c * Y) / det
     v = (-b * X + a * Y) / det
-    ih, iw = img.shape[:2]
     inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
     src_c = np.clip(np.floor(u * iw).astype(np.int64), 0, iw - 1)
     src_r = np.clip(np.floor((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
-    region = canvas[y0:y1, x0:x1]
     region[inside] = img[src_r, src_c][inside]
 
 

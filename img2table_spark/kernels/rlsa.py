@@ -48,7 +48,8 @@ def adaptive_rlsa(cc: np.ndarray, cc_stats: np.ndarray, a: float, th: float, c: 
     lies in the ±2-row gap window."""
     rlsa_img = (cc > 0).astype(np.uint8)
     H, W = cc.shape
-    stats = cc_stats
+    # python tuples once, not a numpy row slice + int() per gap (~55k gaps)
+    stats = [tuple(int(v) for v in row[:4]) for row in cc_stats]
 
     for row in range(H):
         cols = np.nonzero(cc[row])[0]
@@ -63,8 +64,8 @@ def adaptive_rlsa(cc: np.ndarray, cc_stats: np.ndarray, a: float, th: float, c: 
             if label == prev_label:
                 rlsa_img[row, prev_pos:col] = 1
             else:
-                x1_cc, y1_cc, width_cc, height_cc = (int(v) for v in stats[label][:4])
-                x1_p, y1_p, width_p, height_p = (int(v) for v in stats[prev_label][:4])
+                x1_cc, y1_cc, width_cc, height_cc = stats[label]
+                x1_p, y1_p, width_p, height_p = stats[prev_label]
                 length = col - prev_pos - 1
                 height_ratio = max(height_cc, height_p) / max(min(height_cc, height_p), 1)
                 h_overlap = min(y1_cc + height_cc, y1_p + height_p) - max(y1_cc, y1_p)
