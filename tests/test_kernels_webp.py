@@ -326,3 +326,25 @@ def test_dispatch_and_golden_twin_extraction(test_img):
         for tb in extract_image_tables(img, implicit_rows=True)
     )
     assert got == [((36, 21, 770, 327), (6, 3)), ((962, 21, 1154, 123), (2, 2))]
+
+
+def test_fuzz_corrupt_streams_fail_cleanly():
+    """Bit-flipped and truncated VP8L streams must either decode (benign
+    corruption) or raise WebPError — never hang, loop, or leak another
+    exception type into the Spark UDF's error accounting."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    good = bytearray(encode_webp_vp8l(img))
+    for _ in range(120):
+        data = bytearray(good)
+        for _ in range(int(rng.integers(1, 6))):
+            data[int(rng.integers(12, len(data)))] = int(rng.integers(0, 256))
+        try:
+            decode_webp(bytes(data))
+        except WebPError:
+            pass
+    for cut in range(12, len(good), 11):
+        try:
+            decode_webp(bytes(good[:cut]))
+        except WebPError:
+            pass
