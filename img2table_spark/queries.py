@@ -561,8 +561,10 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 # double division is also exact-deterministic). Training runs on a
 # hash-chosen sample of ≤ 4096 points collected to the driver (bounded —
 # the same driver-small contract as a broadcast dim); assignment of the full
-# table is a narrow per-row argmin against the literal centroid array: no
-# crossJoin row explosion, no window shuffle. At k beyond 512 (N ≳ 32k·64)
+# table is a vectorized Arrow-UDF argmin against the BROADCAST codebook: no
+# crossJoin row explosion, no window shuffle, and the plan stays O(1) in k
+# (embedding the k×d matrix as literals bloats every Catalyst tree and
+# re-analyzes it per query). At k beyond 512 (N ≳ 32k·64)
 # production would switch to hierarchical training (bucket-then-split) —
 # the cap keeps the sample statistically meaningful (≥ 8 points/centroid).
 # --------------------------------------------------------------------------
@@ -573,9 +575,6 @@ _IVF_TARGET_BUCKET = 64
 _IVF_SAMPLE = 4096
 _IVF_ITERS = 3
 
-# argmin over the (driver-small, literal) centroid array: exact integer
-# squared-L2 per centroid, best (dist asc, cid asc) picked by struct-ordered
-# array_min — per-row, no row explosion, no window shuffle.
 _QUANT_EXPR = "transform(embedding, x -> cast(floor(cast(x AS DOUBLE) * 1000000D + 0.5D) AS bigint))"
 
 _IVF_MEMO: dict = {}
