@@ -255,6 +255,127 @@ def encode_tiff_tiled(img: np.ndarray, tile_w: int = 64, tile_l: int = 64,
     return bytes(out)
 
 
+def _split_jpeg_dqt(stream: bytes) -> tuple[bytes, bytes]:
+    """(dqt_segments, stream_without_dqt): walk the marker segments before
+    SOS and hoist the DQT segments — the JPEGTables fixture shape (TTN2
+    allows any table split)."""
+    assert stream[:2] == b"\xff\xd8"
+    pos = 2
+    dqt = bytearray()
+    keep = bytearray(stream[:2])
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            break
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS: entropy follows — keep the rest verbatim
+            keep += stream[pos:]
+            return bytes(dqt), bytes(keep)
+        seg_len = struct.unpack(">H", stream[pos + 2 : pos + 4])[0]
+        seg = stream[pos : pos + 2 + seg_len]
+        if m == 0xDB:
+            dqt += seg
+        else:
+            keep += seg
+        pos += 2 + seg_len
+    keep += stream[pos:]
+    return bytes(dqt), bytes(keep)
+
+
+def encode_tiff_jpeg(img: np.ndarray, rows_per_strip: int | None = None,
+                     external_tables: bool = False, tile: tuple | None = None,
+                     qval: int = 2) -> bytes:
+    """RGB array → new-style JPEG-in-TIFF (compression 7, TTN2): each
+    strip/tile is an independent progressive-JPEG stream; with
+    ``external_tables`` the DQT segments are hoisted into a shared
+    JPEGTables tag (347) and the per-strip streams are abbreviated."""
+    h, w, _ = img.shape
+    blocks: list[np.ndarray] = []
+    if tile:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                block = np.zeros((tl, tw, 3), dtype=np.uint8)
+                part = img[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                block[: part.shape[0], : part.shape[1]] = part
+                blocks.append(block)
+    else:
+        rows_per_strip = rows_per_strip or h
+        for y0 in range(0, h, rows_per_strip):
+            blocks.append(np.ascontiguousarray(img[y0 : y0 + rows_per_strip]))
+
+    streams = [encode_jpeg_progressive(b, qval=qval) for b in blocks]
+    tables = b""
+    if external_tables:
+        stripped = []
+        for s in streams:
+            dqt, rest = _split_jpeg_dqt(s)
+            tables = tables or (b"\xff\xd8" + dqt + b"\xff\xd9")
+            stripped.append(rest)
+        streams = stripped
+
+    n = len(streams)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None), (259, 3, 1, 7),
+        (262, 3, 1, 6), (277, 3, 1, 3), (284, 3, 1, 1),
+    ]
+    if tile:
+        tag_list += [(322, 3, 1, tile[0]), (323, 3, 1, tile[1]),
+                     (324, 4, n, None), (325, 4, n, None)]
+    else:
+        tag_list += [(273, 4, n, None), (278, 3, 1, rows_per_strip),
+                     (279, 4, n, None)]
+    if tables:
+        tag_list.append((347, 7, len(tables), None))
+    tag_list.sort()
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+
+    def alloc_bytes(bs: bytes) -> int:
+        off = extra_base + len(extra)
+        extra.extend(bs)
+        return off
+
+    def alloc(vals, fmt):
+        return alloc_bytes(struct.pack("<" + fmt * len(vals), *vals))
+
+    bps_off = alloc([8, 8, 8], "H")
+    tables_off = alloc_bytes(tables) if tables else 0
+    data_base = extra_base + len(extra) + (4 * n * 2 if n > 1 else 0)
+    offsets, pos = [], data_base
+    for s in streams:
+        offsets.append(pos)
+        pos += len(s)
+    counts = [len(s) for s in streams]
+    if n > 1:
+        off_off = alloc(offsets, "I")
+        cnt_off = alloc(counts, "I")
+    else:
+        off_off, cnt_off = offsets[0], counts[0]
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if tag == 258:
+            val = bps_off
+        elif tag in (273, 324):
+            val = off_off
+        elif tag in (279, 325):
+            val = cnt_off
+        elif tag == 347:
+            val = tables_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += extra
+    for s in streams:
+        out += s
+    return bytes(out)
+
+
 # --------------------------------------------------------- progressive JPEG
 
 class _BitWriter:

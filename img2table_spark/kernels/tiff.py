@@ -6,8 +6,9 @@ Supported: both byte orders, strip-based baseline TIFF — bilevel (1-bit),
 grayscale (8-bit, WhiteIsZero/BlackIsZero), palette, RGB(A) — plus TILED
 layout (TIFF 6.0 §15, 8-bit paths) with edge-tile padding; Compression
 none(1) / LZW(5, with early-change and horizontal predictor) / deflate
-(8/32946) / PackBits(32773). JPEG-in-TIFF and bilevel tiles are rejected
-loudly — they don't occur in scanner output at baseline conformance.
+(8/32946) / PackBits(32773) / new-style JPEG (7, TTN2: per-strip/tile JPEG
+streams with optional shared JPEGTables). Old-style JPEG (6) and bilevel
+tiles are rejected loudly.
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ def _read_ifd(data: bytes, off: int, eb: str) -> dict[int, list[int]]:
             vals = list(struct.unpack_from(eb + f"{cnt}H", data, vo))
         elif typ == 4:
             vals = list(struct.unpack_from(eb + f"{cnt}I", data, vo))
-        elif typ == 1:
+        elif typ in (1, 6, 7):  # BYTE / SBYTE / UNDEFINED (e.g. JPEGTables)
             vals = list(data[vo : vo + cnt])
         elif typ == 5:
             vals = [
@@ -118,6 +119,55 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _merge_jpeg_tables(stream: bytes, tables: bytes | None) -> bytes:
+    """TTN2 abbreviated-stream merge: JPEGTables is `SOI <DQT/DHT...> EOI`;
+    splice its segments right after the strip stream's SOI so the result is
+    a complete interchange JPEG."""
+    if not tables:
+        return stream
+    if stream[:2] != b"\xff\xd8":
+        raise TIFFError("JPEG strip without SOI")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return stream[:2] + body + stream[2:]
+
+
+def _decode_jpeg_tiff(
+    data: bytes, w: int, h: int, offsets, counts, jpeg_tables: bytes | None,
+    tiled: bool, tile_w, tile_l, rows_per_strip: int,
+) -> np.ndarray:
+    """Compression 7: decode each strip/tile as a JPEG stream and assemble."""
+    from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
+
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    try:
+        if tiled:
+            tiles_across = (w + tile_w - 1) // tile_w
+            tiles_down = (h + tile_l - 1) // tile_l
+            if len(offsets) < tiles_across * tiles_down:
+                raise TIFFError("truncated tile offsets")
+            for ti in range(tiles_across * tiles_down):
+                so, sc = offsets[ti], counts[ti]
+                img = decode_jpeg(_merge_jpeg_tables(data[so : so + sc], jpeg_tables))
+                ty, tx = divmod(ti, tiles_across)
+                y0, x0 = ty * tile_l, tx * tile_w
+                part = img[: min(tile_l, h - y0), : min(tile_w, w - x0)]
+                out[y0 : y0 + part.shape[0], x0 : x0 + part.shape[1]] = part
+        else:
+            y = 0
+            for so, sc in zip(offsets, counts):
+                img = decode_jpeg(_merge_jpeg_tables(data[so : so + sc], jpeg_tables))
+                nrows = min(img.shape[0], h - y, rows_per_strip)
+                out[y : y + nrows] = img[:nrows, :w]
+                y += nrows
+            if y < h:
+                raise TIFFError("truncated JPEG strip data")
+    except JPEGError as exc:
+        raise TIFFError(f"bad JPEG-in-TIFF stream: {exc}") from exc
+    return out
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """TIFF bytes → RGB uint8 (H, W, 3). First IFD only (page 1)."""
     if data[:4] == b"II*\x00":
@@ -162,6 +212,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if any(b not in (1, 8) for b in bps[:spp]):
         raise TIFFError(f"unsupported BitsPerSample {bps}")
     bit1 = bps[0] == 1 and spp == 1
+
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TTN2): each strip/tile is a JPEG
+        # interchange stream, optionally abbreviated with the shared
+        # DQT/DHT segments hoisted into the JPEGTables tag (347)
+        jpeg_tables = bytes(tags.get(347, [])) or None
+        return _decode_jpeg_tiff(
+            data, w, h, offsets, counts, jpeg_tables,
+            tiled, tile_w, tile_l, rows_per_strip,
+        )
 
     decomp = {
         1: lambda b: b,

@@ -1212,6 +1212,7 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_bmp24,
             encode_jpeg_progressive,
             encode_tiff,
+            encode_tiff_jpeg,
             encode_tiff_tiled,
         )
         from img2table_spark.kernels.png import decode_png
@@ -1225,6 +1226,7 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (encode_jpeg_progressive(test_img, qval=2), "image/jpeg"),
                 (encode_webp_vp8l(test_img), "image/webp"),
                 (encode_tiff_tiled(test_img, 64, 64, compression=5, predictor=2), "image/tiff"),
+                (encode_tiff_jpeg(test_img, rows_per_strip=64, external_tables=True), "image/tiff"),
             ],
             start=12,
         ):

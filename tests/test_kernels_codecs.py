@@ -171,3 +171,41 @@ def test_tiff_tiled_edge_padding(test_img):
 
     data = encode_tiff_tiled(crop, 48, 32, compression=5, predictor=2)
     assert np.array_equal(decode_tiff(data), crop)
+
+
+@pytest.mark.parametrize("external_tables", [False, True], ids=["inline", "jpegtables"])
+def test_tiff_jpeg_strips(test_img, external_tables):
+    """New-style JPEG-in-TIFF (compression 7, TTN2): strips are independent
+    JPEG streams, optionally abbreviated with shared DQT hoisted into the
+    JPEGTables tag. Expected = per-strip JPEG decodes assembled."""
+    from img2table_spark.kernels.encoders import encode_tiff_jpeg
+
+    want = np.zeros_like(test_img)
+    h, w, _ = test_img.shape
+    y = 0
+    while y < h:
+        blk = np.ascontiguousarray(test_img[y : y + 64])
+        dec = decode_jpeg(encode_jpeg_progressive(blk, qval=2))
+        want[y : y + blk.shape[0]] = dec[: blk.shape[0], :w]
+        y += 64
+    data = encode_tiff_jpeg(test_img, rows_per_strip=64,
+                            external_tables=external_tables)
+    assert np.array_equal(decode_tiff(data), want)
+
+
+def test_tiff_jpeg_tiled(test_img):
+    from img2table_spark.kernels.encoders import encode_tiff_jpeg
+
+    h, w, _ = test_img.shape
+    want = np.zeros_like(test_img)
+    for ty in range((h + 63) // 64):
+        for tx in range((w + 63) // 64):
+            block = np.zeros((64, 64, 3), np.uint8)
+            part = test_img[ty * 64 : (ty + 1) * 64, tx * 64 : (tx + 1) * 64]
+            block[: part.shape[0], : part.shape[1]] = part
+            dec = decode_jpeg(encode_jpeg_progressive(block, qval=2))
+            want[ty * 64 : ty * 64 + part.shape[0],
+                 tx * 64 : tx * 64 + part.shape[1]] = dec[: part.shape[0],
+                                                          : part.shape[1]]
+    data = encode_tiff_jpeg(test_img, tile=(64, 64), external_tables=True)
+    assert np.array_equal(decode_tiff(data), want)
