@@ -638,6 +638,53 @@ def _glyph_ink_span(ch: str, baseline: float, em: float) -> tuple[float, float]:
     return baseline - 0.72 * em, baseline
 
 
+def _glyph_ink_span_local(ch: str) -> tuple[float, float]:
+    """(y_lo, y_hi) of the ink box in GLYPH-LOCAL text space (y-up, baseline
+    at 0, em = 1): the same typographic model as _glyph_ink_span."""
+    if ch in _GLYPH_XHEIGHT:
+        return 0.0, 0.50
+    if ch in _GLYPH_DESCENDERS:
+        return -0.21, 0.50
+    if ch in _GLYPH_BASE_PUNCT:
+        return (-0.10 if ch in ",;" else 0.0), 0.12
+    if ch in _GLYPH_TOP_PUNCT:
+        return 0.45, 0.72
+    if ch in _GLYPH_MID_PUNCT:
+        return 0.22, 0.40
+    return 0.0, 0.72
+
+
+def _fill_quad(canvas: np.ndarray, pts: "list[tuple[float, float]]") -> None:
+    """Fill a convex quad (pixel coords, any winding) with black: bounding
+    box + half-plane tests on pixel centers."""
+    ch, cw = canvas.shape[:2]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x0 = max(0, int(np.floor(min(xs))))
+    x1 = min(cw, int(np.ceil(max(xs))) + 1)
+    y0 = max(0, int(np.floor(min(ys))))
+    y1 = min(ch, int(np.ceil(max(ys))) + 1)
+    if x0 >= x1 or y0 >= y1:
+        return
+    # signed area fixes winding so all edge cross-products share a sign
+    area = sum(
+        pts[i][0] * pts[(i + 1) % 4][1] - pts[(i + 1) % 4][0] * pts[i][1]
+        for i in range(4)
+    )
+    if area < 0:
+        pts = pts[::-1]
+    gx, gy = np.meshgrid(
+        np.arange(x0, x1, dtype=np.float64) + 0.5,
+        np.arange(y0, y1, dtype=np.float64) + 0.5,
+    )
+    inside = np.ones(gx.shape, dtype=bool)
+    for i in range(4):
+        ax, ay = pts[i]
+        bx, by = pts[(i + 1) % 4]
+        inside &= (bx - ax) * (gy - ay) - (by - ay) * (gx - ax) >= 0
+    canvas[y0:y1, x0:x1][inside] = 0
+
+
 def render_pdf_text_page(doc: PdfDocument, page: dict) -> "np.ndarray | None":
     """200-DPI render of a TEXT-LAYER page for pipelines that need pixels
     (borderless detection L1–L12, rotation S3): image XObjects through their
@@ -664,8 +711,27 @@ def render_pdf_text_page(doc: PdfDocument, page: dict) -> "np.ndarray | None":
             _draw_affine_image(canvas, img, ctm, media)
     if rects:
         _draw_vector_rects(canvas, rects, media)
-    for c in chars_to_pixel(chars, page_h):
+    for raw, c in zip(chars, chars_to_pixel(chars, page_h)):
         if c[0].strip() == "":
+            continue
+        if raw.mat is not None:
+            # rotated/sheared glyph: draw the ink box in the glyph's LOCAL
+            # frame (baseline y=0, em=1) and map its quad through the text
+            # render matrix — the de-rotated page then carries real slanted
+            # ink instead of axis-aligned smears
+            y_lo, y_hi = _glyph_ink_span_local(c[0])
+            half = 0.5 * _glyph_ink_width_frac(c[0]) * max(raw.w0, 1e-3)
+            cx_l = 0.5 * raw.w0
+            a, b, cc_, d, e, f = raw.mat
+            quad = []
+            for lx, ly in (
+                (cx_l - half, y_lo), (cx_l + half, y_lo),
+                (cx_l + half, y_hi), (cx_l - half, y_hi),
+            ):
+                ux = a * lx + cc_ * ly + e
+                uy = b * lx + d * ly + f
+                quad.append((ux * SCALE, (page_h - uy) * SCALE))
+            _fill_quad(canvas, quad)
             continue
         iy1, iy2 = c[5], c[6]
         cx = 0.5 * (c[1] + c[3])

@@ -450,6 +450,11 @@ class PdfChar:
     y2: float  # PDF points, y-up (loose box, pdfium-style)
     iy1: float = 0.0  # tight ink bounds (FontDescriptor ascent/descent)
     iy2: float = 0.0
+    #: full text-render matrix (6-tuple) when the glyph is ROTATED/SHEARED
+    #: (trm has nonzero b/c); None for the axis-aligned common case. The
+    #: glyph renderer uses it to draw ink in the glyph's local frame.
+    mat: "tuple | None" = None
+    w0: float = 0.0  # advance width in text space (local em units)
 
 
 @dataclass
@@ -547,20 +552,33 @@ def _interpret_content(
             # glyph box in text space: x ∈ [0, w0], y ∈ [descent, ascent]/1000
             x0, y0 = 0.0, font.descent / 1000.0
             x1, y1 = w0, font.ascent / 1000.0
-            pa = _apply(trm, x0, y0)
-            pb = _apply(trm, x1, y1)
-            qa = _apply(trm, x0, font.descent_ink / 1000.0)
-            qb = _apply(trm, x1, font.ascent_ink / 1000.0)
+            rotated = abs(trm[1]) > 1e-9 or abs(trm[2]) > 1e-9
+            if rotated:
+                # true AABB needs all four transformed corners
+                corners = [_apply(trm, cx, cy) for cx in (x0, x1) for cy in (y0, y1)]
+                inks = [
+                    _apply(trm, cx, cy)
+                    for cx in (x0, x1)
+                    for cy in (font.descent_ink / 1000.0, font.ascent_ink / 1000.0)
+                ]
+            else:
+                corners = [_apply(trm, x0, y0), _apply(trm, x1, y1)]
+                inks = [
+                    _apply(trm, x0, font.descent_ink / 1000.0),
+                    _apply(trm, x1, font.ascent_ink / 1000.0),
+                ]
             if True:  # every char is emitted — whitespace splits words later
                 chars.append(
                     PdfChar(
                         value=ch,
-                        x1=min(pa[0], pb[0]),
-                        y1=min(pa[1], pb[1]),
-                        x2=max(pa[0], pb[0]),
-                        y2=max(pa[1], pb[1]),
-                        iy1=min(qa[1], qb[1]),
-                        iy2=max(qa[1], qb[1]),
+                        x1=min(p[0] for p in corners),
+                        y1=min(p[1] for p in corners),
+                        x2=max(p[0] for p in corners),
+                        y2=max(p[1] for p in corners),
+                        iy1=min(p[1] for p in inks),
+                        iy2=max(p[1] for p in inks),
+                        mat=trm if rotated else None,
+                        w0=w0,
                     )
                 )
             adv = (w0 * tfs + tc + (tw if code == 0x20 else 0.0)) * tz / 100.0

@@ -160,10 +160,10 @@ def test_rotated_text_pdf_detect_rotation_with_external_words():
     path with detect_rotation=True: the skew is detected and corrected, the
     page's own text layer is SKIPPED (its coordinates no longer match the
     fixed image — reference document/pdf.py _rotated guard), and caller-
-    provided OCR words in words_by_page supply content. The ink model draws
-    axis-aligned boxes of rotated glyph boxes, so the de-rotated grid is
-    blurrier than a real rasterization — the test pins detection + external
-    word assignment, not exact grid shape."""
+    provided OCR words in words_by_page supply content. Rotated glyphs carry
+    their text-render matrix (PdfChar.mat) and draw ink as true slanted
+    quads, so the de-rotated page recovers the full 6×4 data grid with every
+    row's content exact (the heading row merges into the title band)."""
     import math
 
     import pandas as pd
@@ -212,6 +212,10 @@ def test_rotated_text_pdf_detect_rotation_with_external_words():
     )
     assert rotated is True
     grids = [t for t in pages[0] if t.nb_columns == 4]
-    assert grids, [t.nb_columns for t in pages[0]]
-    contents = [cell.content for t in grids for row in t.rows for cell in row]
-    assert "row1metric" in contents and "201" in contents
+    assert len(grids) == 1, [(t.nb_rows, t.nb_columns) for t in pages[0]]
+    t = grids[0]
+    assert t.nb_rows == 6
+    assert [[cell.content for cell in row] for row in t.rows] == [
+        [f"row{r}metric", f"{100 + r}", f"{200 + r}", f"{r}.5"]
+        for r in range(1, 7)
+    ]
