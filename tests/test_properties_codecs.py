@@ -56,3 +56,33 @@ def test_lzw_roundtrip_any_bytes(data):
 @given(st.binary(min_size=0, max_size=3000))
 def test_packbits_roundtrip_any_bytes(data):
     assert _packbits_decode(packbits_encode(data)) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+)
+def test_webp_any_shape(h, w, seed):
+    from img2table_spark.kernels.webp import decode_webp, encode_webp_vp8l
+
+    img = _img(h, w, seed)
+    assert np.array_equal(decode_webp(encode_webp_vp8l(img)), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 70),
+    w=st.integers(1, 70),
+    seed=st.integers(0, 10_000),
+    compression=st.sampled_from([1, 5, 8, 32773]),
+    predictor=st.sampled_from([1, 2]),
+)
+def test_tiff_tiled_any_shape(h, w, seed, compression, predictor):
+    from img2table_spark.kernels.encoders import encode_tiff_tiled
+
+    img = _img(h, w, seed)
+    data = encode_tiff_tiled(img, 16, 32, compression=compression,
+                             predictor=predictor)
+    assert np.array_equal(decode_tiff(data), img)
