@@ -275,6 +275,72 @@ FROM documents GROUP BY md5(text)
 _N_HASHES = 8
 _BAND_ROWS = 2
 
+# MinHash family: ONE md5 per shingle (60-bit base from the first 15 hex
+# chars), then 8 affine permutations h_k = (A_k*base + B_k) mod P with
+# P = 2^61 - 1. Cuts signature hashing 8x vs md5-per-(k, shingle) AND kills
+# the x8 explode-through-shuffle: minhashes are 8 parallel MIN aggregates in
+# ONE groupBy(doc_id). Arithmetic is exact in Spark decimal(38,0) and DuckDB
+# HUGEINT, so both engines derive identical signatures (probed: base and
+# affine values equal across Spark/DuckDB/Python).
+_MH_P = (1 << 61) - 1
+_MH_AB = [
+    (981274561237, 77712345), (662617128911, 31990151),
+    (154110941923, 95123837), (839923177811, 12777721),
+    (423400177283, 66600217), (598472911493, 48121403),
+    (777001266899, 90909091), (318199955057, 21092393),
+]
+_MH_BASE_SPARK = "cast(conv(substring(md5(s), 1, 15), 16, 10) as decimal(20,0))"
+_MH_SQL_MINS = ",\n         ".join(
+    f"MIN(CAST((CAST({a} AS HUGEINT) * base + {b}) % {_MH_P} AS BIGINT)) AS m{k}"
+    for k, (a, b) in enumerate(_MH_AB)
+)
+_MH_SQL_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {bb} AS band, CAST(m{2 * bb} AS VARCHAR) || ',' || "
+    f"CAST(m{2 * bb + 1} AS VARCHAR) AS sig FROM mh"
+    for bb in range(_N_HASHES // _BAND_ROWS)
+)
+_MH_SQL_CTES = f"""mh AS (
+  SELECT doc_id,
+         {_MH_SQL_MINS}
+  FROM (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS HUGEINT) AS base
+        FROM sh) q
+  GROUP BY doc_id
+),
+bands AS (
+  {_MH_SQL_BANDS}
+)"""
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band keys via the affine family above."""
+    hs = [
+        F.expr(
+            f"cast(pmod(cast({a} as decimal(38,0)) * {_MH_BASE_SPARK} + {b}, "
+            f"{_MH_P}) as bigint)"
+        ).alias(f"h{k}")
+        for k, (a, b) in enumerate(_MH_AB)
+    ]
+    mins = (
+        sh.select("doc_id", *hs)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{k}").alias(f"m{k}") for k in range(_N_HASHES)])
+    )
+    return mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).cast("long").alias("band"),
+                        F.concat_ws(",", f"m{2 * bb}", f"m{2 * bb + 1}").alias("sig"),
+                    )
+                    for bb in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
 
 def _shingles(
     spark: SparkSession, sf_dir: str, *, cluster_by_s: bool = False
@@ -298,24 +364,7 @@ def _shingles(
 
 def q08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    mh = (
-        sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("k"))
-        .select("doc_id", "k", F.md5(F.concat_ws("|", "k", "s")).alias("h"))
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("h"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("k") / _BAND_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "h"))), lambda x: x["h"]
-                ),
-                ",",
-            ).alias("sig")
-        )
-    )
+    bands = _minhash_bands(sh)
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), on=["band", "sig"])
@@ -346,15 +395,7 @@ sh AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
   FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
 ),
-mh AS (
-  SELECT doc_id, k, MIN(md5(k || '|' || s)) AS h
-  FROM sh, (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS k) seeds
-  GROUP BY doc_id, k
-),
-bands AS (
-  SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(h, ',' ORDER BY k) AS sig
-  FROM mh GROUP BY doc_id, k // {_BAND_ROWS}
-),
+{_MH_SQL_CTES},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -860,15 +901,7 @@ sh AS (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
   FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
 ),
-mh AS (
-  SELECT doc_id, k, MIN(md5(k || '|' || s)) AS h
-  FROM sh, (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS k) seeds
-  GROUP BY doc_id, k
-),
-bands AS (
-  SELECT doc_id, k // {_BAND_ROWS} AS band, string_agg(h, ',' ORDER BY k) AS sig
-  FROM mh GROUP BY doc_id, k // {_BAND_ROWS}
-),
+{_MH_SQL_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
