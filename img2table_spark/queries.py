@@ -1523,6 +1523,274 @@ SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok HAVING COUNT(*) >= {_DF_MIN}
 """
 
 
+# --------------------------------------------------------------------------
+# q25 — PII detection + redaction (training-data op). The synthetic corpus
+# has no organic PII, so both sides first decorate documents.text with
+# DETERMINISTIC doc_id-derived emails/phones/IPs (identical string algebra in
+# Spark and DuckDB), then the operator proper — regex detect + redact — runs
+# on the decorated text. Pure per-row map: zero shuffles, scale-free.
+# Patterns are kept in the RE2 ∩ java.util.regex common dialect.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def q25_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dec = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact agent"), did.cast("string"), F.lit("@mail.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."), (did % 256).cast("string"),
+                    F.lit(".0."), (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IP, "<IP>",
+    )
+    return dec.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ip"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+Q25_SQL = f"""
+WITH dec AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(txt, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(txt, '{_PII_IP}')) AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS red_md5
+FROM dec
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — benchmark decontamination (training-data op): flag corpus documents
+# sharing any 3-gram shingle with a held-out "benchmark" slice (doc_id
+# divisible by _DECON_MOD stands in for the eval set). The benchmark shingle
+# set is tiny by construction → broadcast hash join, so the 100-TB corpus
+# side never shuffles for the probe; the only exchange is the per-doc agg.
+# --------------------------------------------------------------------------
+
+_DECON_MOD = 97
+
+
+def q26_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)  # distinct (doc_id, 3-gram)
+    bench = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hit",
+        "n_sh",
+        ((100 * F.col("n_hit")) / F.col("n_sh")).cast("long").alias("hit_pct"),
+    )
+
+
+Q26_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit
+  FROM sh JOIN bench USING (s)
+  WHERE doc_id % {_DECON_MOD} <> 0
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_hit, z.n_sh, (100 * h.n_hit) // z.n_sh AS hit_pct
+FROM hits h JOIN sizes z USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — repetition-quality signals (Gopher-style filters, training-data op):
+# per document, the dominant word's frequency share and the duplicated-
+# bigram share. Bigram stats are per-row higher-order functions (no
+# shuffle); the dominant word is one explode→agg keyed by (doc_id, w) —
+# hot words are AGG keys, never join keys, so no skew magnet at 100 TB.
+# --------------------------------------------------------------------------
+
+
+def q27_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        (F.size("t") - 1).cast("long").alias("n_bi"),
+        F.size(
+            F.array_distinct(
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+            )
+        ).cast("long").alias("n_bi_d"),
+    ).filter(F.col("n_bi") >= 1)
+    wc = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("w").asc())
+    )
+    top = (
+        wc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_w"), F.col("cnt").alias("top_cnt"))
+    )
+    return bi.join(top, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "top_w",
+        "top_cnt",
+        ((100 * F.col("top_cnt")) / F.col("n_tok")).cast("long").alias("top_pct"),
+        ((100 * (F.col("n_bi") - F.col("n_bi_d"))) / F.col("n_bi")).cast("long").alias("dup_bi_pct"),
+    )
+
+
+Q27_SQL = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, len(t) AS n_tok, len(t) - 1 AS n_bi,
+         len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1]))) AS n_bi_d
+  FROM toks WHERE len(t) >= 2
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM toks, LATERAL (SELECT unnest(t) AS w) g
+  GROUP BY doc_id, w
+),
+top AS (
+  SELECT doc_id, w AS top_w, cnt AS top_cnt
+  FROM (SELECT doc_id, w, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w ASC) AS rn
+        FROM wc) q
+  WHERE rn = 1
+)
+SELECT b.doc_id, b.n_tok, t.top_w, t.top_cnt,
+       (100 * t.top_cnt) // b.n_tok AS top_pct,
+       (100 * (b.n_bi - b.n_bi_d)) // b.n_bi AS dup_bi_pct
+FROM bi b JOIN top t USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — HTML boilerplate strip / main-content extraction (north_rule names
+# this family outright: "HTML boilerplate strip ... DOM heuristics"). Both
+# sides deterministically wrap documents.text in a full page (nav rail,
+# link-heavy related-items aside, two-paragraph article, link-heavy footer);
+# the Spark side runs the REAL link-density block segmenter
+# (kernels/boilerplate.py) over the page, blind to the generator, while the
+# oracle states the planted ground truth — so the gate verifies the
+# heuristic actually recovers the content and drops every boilerplate
+# block. Scan → synth (JVM concat) → explicit CPU-sized exchange → Arrow
+# UDF: the q01 extraction shape, zero extra shuffles.
+# --------------------------------------------------------------------------
+
+_Q28_NAV = (
+    '<nav><a href="/">home</a> <a href="/about">about</a> '
+    '<a href="/contact">contact</a> <a href="/login">login</a></nav>'
+)
+_Q28_ASIDE = (
+    "<aside>"
+    + " ".join(f'<a href="#r{j}">related item {j}</a>' for j in range(12))
+    + "</aside>"
+)
+_Q28_FOOTER = (
+    "<footer>copyright 2026 example corp "
+    '<a href="/privacy">privacy</a> <a href="/terms">terms</a> '
+    '<a href="/sitemap">sitemap</a> <a href="/careers">careers</a></footer>'
+)
+
+
+def q28_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><body>" + _Q28_NAV + _Q28_ASIDE + "<article><p>"),
+        F.col("text"),
+        F.lit("</p><p>summary of document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" with "),
+        F.size(F.split("text", " ")).cast("string"),
+        F.lit(" tokens</p></article>" + _Q28_FOOTER + "</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("page"))
+    # Explicit CPU-derived count: AQE would size-coalesce a bare
+    # repartition() under the UDF's real (CPU) cost (CLAUDE.md gotcha).
+    pages = pages.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+
+    @F.pandas_udf("string")
+    def _main(col: pd.Series) -> pd.Series:
+        from img2table_spark.kernels.boilerplate import extract_main_text
+
+        return col.map(extract_main_text)
+
+    return pages.select("doc_id", _main("page").alias("main_text"))
+
+
+Q28_SQL = """
+SELECT doc_id,
+       text || chr(10) || 'summary of document ' || CAST(doc_id AS VARCHAR)
+            || ' with ' || CAST(len(str_split(text, ' ')) AS VARCHAR)
+            || ' tokens' AS main_text
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -1548,6 +1816,10 @@ QUERIES = {
     "q22_sessionize": q22_sessionize,
     "q23_dedup_purge": q23_dedup_purge,
     "q24_token_df": q24_token_df,
+    "q25_pii_redact": q25_pii_redact,
+    "q26_decontam": q26_decontam,
+    "q27_repetition": q27_repetition,
+    "q28_main_content": q28_main_content,
 }
 
 ORACLES = {
@@ -1575,4 +1847,8 @@ ORACLES = {
     "q22_sessionize": Q22_SQL,
     "q23_dedup_purge": Q23_SQL,
     "q24_token_df": Q24_SQL,
+    "q25_pii_redact": Q25_SQL,
+    "q26_decontam": Q26_SQL,
+    "q27_repetition": Q27_SQL,
+    "q28_main_content": Q28_SQL,
 }
