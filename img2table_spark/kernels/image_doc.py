@@ -26,12 +26,14 @@ class ImageDecodeError(ValueError):
 
 def decode_image_bytes(data: bytes):
     """Magic-sniffing decode: PNG / JPEG (baseline + progressive) / BMP /
-    TIFF / PNM / PFM / Sun raster / WebP-VP8L → RGB uint8 array. The
-    reference accepts anything cv2.imdecode reads (reference
-    document/image.py:25-32); these cover its README input list minus lossy
-    WebP (VP8) / JPEG-2000 / EXR / HDR (rejected loudly — DCT/wavelet
-    codecs out of from-scratch scope)."""
+    TIFF / PNM / PFM / Sun raster / WebP-VP8L / Radiance HDR / OpenEXR
+    (scanline) → RGB uint8 array. The reference accepts anything
+    cv2.imdecode reads (reference document/image.py:25-32); these cover its
+    README input list minus lossy WebP (VP8) / JPEG-2000 (rejected loudly —
+    DCT/wavelet codecs out of from-scratch scope)."""
     from img2table_spark.kernels.bmp import BMPError, decode_bmp
+    from img2table_spark.kernels.exr import EXRError, decode_exr
+    from img2table_spark.kernels.hdr import HDRError, decode_hdr
     from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
     from img2table_spark.kernels.png import PNGError, decode_png
     from img2table_spark.kernels.pnm import (
@@ -46,6 +48,10 @@ def decode_image_bytes(data: bytes):
     try:
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             return decode_webp(data)
+        if data[:2] == b"#?":
+            return decode_hdr(data)
+        if data[:4] == b"\x76\x2f\x31\x01":
+            return decode_exr(data)
         if data[:2] == b"\xff\xd8":
             return decode_jpeg(data)
         if data[:2] == b"BM":
@@ -60,7 +66,10 @@ def decode_image_bytes(data: bytes):
             return decode_pfm(data)
         if data[:4] == b"\x59\xa6\x6a\x95":
             return decode_sun_raster(data)
-    except (PNGError, JPEGError, BMPError, TIFFError, PNMError, WebPError) as exc:
+    except (
+        PNGError, JPEGError, BMPError, TIFFError, PNMError, WebPError,
+        HDRError, EXRError,
+    ) as exc:
         raise ImageDecodeError(str(exc)) from exc
     raise ImageDecodeError(f"unrecognized image magic {data[:8]!r}")
 

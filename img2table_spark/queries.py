@@ -1248,6 +1248,8 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_tiff_jpeg,
             encode_tiff_tiled,
         )
+        from img2table_spark.kernels.exr import encode_exr
+        from img2table_spark.kernels.hdr import encode_hdr
         from img2table_spark.kernels.png import decode_png
         from img2table_spark.kernels.webp import encode_webp_vp8l
 
@@ -1260,6 +1262,8 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (encode_webp_vp8l(test_img), "image/webp"),
                 (encode_tiff_tiled(test_img, 64, 64, compression=5, predictor=2), "image/tiff"),
                 (encode_tiff_jpeg(test_img, rows_per_strip=64, external_tables=True), "image/tiff"),
+                (encode_hdr(test_img), "image/vnd.radiance"),
+                (encode_exr(test_img, compression=3), "image/x-exr"),
             ],
             start=12,
         ):
@@ -1791,6 +1795,114 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# q29 — AS-OF JOIN (an operator Spark lacks natively; DuckDB's built-in
+# ASOF JOIN is the independent oracle): each click event joins the latest
+# prior view by the same user. Implemented as the canonical distributed
+# shape — tag both sides, union, ONE window over (user_id, ts) carrying the
+# last-seen right row forward — one shuffle on user_id, no range-join
+# explosion, no per-key collect. (events ts are unique per user at all SFs,
+# so the <=-tie ordering never fires; `side` orders views first anyway.)
+# --------------------------------------------------------------------------
+
+
+# events.ts is TIMESTAMP_NTZ: anchor-relative micros are timezone-free in
+# both engines (Spark timestampdiff on NTZ / DuckDB date_diff), unlike
+# epoch functions whose NTZ interpretation depends on the session zone.
+_EV_US_SPARK = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+_EV_US_SQL = "date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)"
+
+
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    un = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.lit(1).alias("side"), F.col("event_id").alias("eid"))
+        .unionByName(
+            ev.filter(F.col("event_type") == "view").select(
+                "user_id", "ts", F.lit(0).alias("side"), F.col("event_id").alias("eid")
+            )
+        )
+        .withColumn("us", F.expr(_EV_US_SPARK))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.last(F.when(F.col("side") == 0, F.col("eid")), ignorenulls=True).over(w)
+    view_us = F.last(F.when(F.col("side") == 0, F.col("us")), ignorenulls=True).over(w)
+    return (
+        un.select(
+            "user_id", "side", F.col("eid").alias("click_id"), F.col("us").alias("cus"),
+            view_id.alias("view_id"), view_us.alias("vus"),
+        )
+        .filter((F.col("side") == 1) & F.col("view_id").isNotNull())
+        .select(
+            "click_id", "user_id", "view_id",
+            (F.col("cus") - F.col("vus")).alias("gap_us"),
+        )
+    )
+
+
+Q29_SQL = """
+SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+       date_diff('microsecond', v.ts, c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — RANGE JOIN via time bucketing (the other join family Spark lacks):
+# clicks within one hour AFTER each error event, per user. The naive plan
+# is a per-user interval cross product; the scale path buckets both sides
+# to the hour (exact integer `div`), explodes the probe side to its two
+# candidate buckets, equi-joins on (user_id, bucket) and applies the precise
+# interval filter afterwards — joins stay hash joins with bounded fan-out at
+# any corpus size. Oracle is DuckDB's plain inequality join (fine at sf0.01).
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.expr(_EV_US_SPARK).alias("eus")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr(_EV_US_SPARK).alias("cus")
+    ).withColumn("bucket", F.expr(f"cus div {_HOUR_US}"))
+    err2 = err.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"eus div {_HOUR_US}"), F.expr(f"eus div {_HOUR_US} + 1")
+            )
+        ),
+    )
+    return (
+        err2.join(clk, ["user_id", "bucket"])
+        .filter((F.col("cus") > F.col("eus")) & (F.col("cus") <= F.col("eus") + _HOUR_US))
+        .groupBy("error_id", "user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+
+
+Q30_SQL = f"""
+SELECT e.event_id AS error_id, e.user_id, COUNT(*) AS n_clicks
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND date_diff('microsecond', e.ts, c.ts) > 0
+ AND date_diff('microsecond', e.ts, c.ts) <= {_HOUR_US}
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -1820,6 +1932,8 @@ QUERIES = {
     "q26_decontam": q26_decontam,
     "q27_repetition": q27_repetition,
     "q28_main_content": q28_main_content,
+    "q29_asof_join": q29_asof_join,
+    "q30_range_join": q30_range_join,
 }
 
 ORACLES = {
@@ -1851,4 +1965,6 @@ ORACLES = {
     "q26_decontam": Q26_SQL,
     "q27_repetition": Q27_SQL,
     "q28_main_content": Q28_SQL,
+    "q29_asof_join": Q29_SQL,
+    "q30_range_join": Q30_SQL,
 }
