@@ -14,6 +14,7 @@ Design rules for oracle parity:
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib as _hashlib
 from pathlib import Path
 
@@ -1136,12 +1137,25 @@ FROM read_parquet('{_Q14_GOLDEN}')
 
 
 def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from img2table_spark.schema import TRANSCRIPT_SCHEMA
+
+    rows = list(_q14_corpus_rows())
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    from img2table_spark.operators.extract import extract_cells_flat
+
+    return extract_cells_flat(df, salt=True)
+
+
+@_functools.lru_cache(maxsize=1)
+def _q14_corpus_rows() -> tuple:
+    """Deterministic q14 payload corpus. The codec fixture encoders
+    (progressive JPEG, JPEG-in-TIFF, WebP, HDR, ...) cost ~5 s of serial
+    driver CPU, so the corpus is built once per process and reused by
+    entry()/bench/repeat gate runs."""
     import base64
     import datetime as dt
     import json as _json
     from pathlib import Path
-
-    from img2table_spark.schema import TRANSCRIPT_SCHEMA
 
     ref = Path(_REF_FIXTURES)
     rows = []
@@ -1271,10 +1285,7 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (f"codecconv{i % 2}", i, "assistant",
                  base64.b64encode(payload).decode(), tool, ts)
             )
-    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
-    from img2table_spark.operators.extract import extract_cells_flat
-
-    return extract_cells_flat(df, salt=True)
+    return tuple(rows)
 
 
 # --------------------------------------------------------------------------
