@@ -86,3 +86,48 @@ def test_tiff_tiled_any_shape(h, w, seed, compression, predictor):
     data = encode_tiff_tiled(img, 16, 32, compression=compression,
                              predictor=predictor)
     assert np.array_equal(decode_tiff(data), img)
+
+
+# ------------------------------------------------------------- HDR / EXR
+
+from img2table_spark.kernels.exr import decode_exr, encode_exr
+from img2table_spark.kernels.hdr import decode_hdr, encode_hdr
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(8, 48),  # new-style RLE needs width >= 8
+    seed=st.integers(0, 10_000),
+)
+def test_hdr_any_shape_within_one(h, w, seed):
+    img = _img(h, w, seed)
+    out = decode_hdr(encode_hdr(img))
+    assert out.shape == img.shape
+    # shared RGBE exponent bounds every channel's error by half a level,
+    # so the display round-trip is off by at most one gray level
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(8, 48),
+    seed=st.integers(0, 10_000),
+)
+def test_hdr_gray_any_shape_exact(h, w, seed):
+    g = np.random.RandomState(seed).randint(0, 256, size=(h, w, 1), dtype=np.uint8)
+    img = np.repeat(g, 3, axis=2)
+    assert np.array_equal(decode_hdr(encode_hdr(img)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+    comp=st.sampled_from([0, 1, 2, 3]),
+)
+def test_exr_any_shape_exact(h, w, seed, comp):
+    img = _img(h, w, seed)
+    assert np.array_equal(decode_exr(encode_exr(img, compression=comp)), img)
