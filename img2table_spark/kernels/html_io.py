@@ -119,16 +119,14 @@ class _TableParser(HTMLParser):
         if tag == "tr":
             self._row = []
         elif tag in ("td", "th"):
-            d = dict(attrs)
-
-            def _span(v):
-                try:
-                    return max(1, int(v))
-                except (TypeError, ValueError):
-                    return 1
-
-            self._colspan = _span(d.get("colspan"))
-            self._rowspan = _span(d.get("rowspan"))
+            cs = rs = 1
+            for k, v in attrs:
+                if k == "colspan":
+                    cs = _span_val(v)
+                elif k == "rowspan":
+                    rs = _span_val(v)
+            self._colspan = cs
+            self._rowspan = rs
             self._cell_parts = []
         elif tag == "br" and self._cell_parts is not None:
             self._cell_parts.append(_BR)
@@ -157,8 +155,19 @@ class _TableParser(HTMLParser):
             self._cell_parts.append(data)
 
 
+def _span_val(v) -> int:
+    try:
+        return max(1, int(v))
+    except (TypeError, ValueError):
+        return 1
+
+
 def _assemble_value(parts: list) -> str | None:
     """Collapse whitespace within each line; ``<br>`` separates lines."""
+    if len(parts) == 1 and parts[0] is not _BR:
+        # common case: one data chunk, no <br> — same normalization,
+        # no line assembly (" ".join(split) has no edge whitespace)
+        return " ".join(parts[0].split()) or None
     lines: list[list[str]] = [[]]
     for p in parts:
         if p is _BR:
