@@ -1634,19 +1634,31 @@ _DECON_MOD = 97
 
 def q26_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)  # distinct (doc_id, 3-gram)
-    bench = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    hits = (
-        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
-        .join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+    bench = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_hit",
-        "n_sh",
-        ((100 * F.col("n_hit")) / F.col("n_sh")).cast("long").alias("hit_pct"),
+    # ONE pass over the corpus shingles: broadcast LEFT join marks bench
+    # overlaps, a single agg per doc counts both totals — the corpus side is
+    # scanned once and never shuffled for the probe (the only exchange is
+    # the per-doc agg).
+    return (
+        sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            F.count("*").alias("n_sh"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_sh",
+            ((100 * F.col("n_hit")) / F.col("n_sh")).cast("long").alias("hit_pct"),
+        )
     )
 
 
