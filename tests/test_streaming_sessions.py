@@ -1,0 +1,72 @@
+"""Streaming sessionization (native session_window + watermark) and the
+stateless quality/PII filter: output equality vs batch on a drained file
+source."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from img2table_spark.schema import TRANSCRIPT_SCHEMA
+from img2table_spark.streaming.sessions import (
+    stream_quality_filter,
+    stream_sessionize,
+)
+
+
+def _session_corpus(spark):
+    """Two conversations, each with two bursts separated by > gap, plus a
+    far-future flush turn that pushes the watermark past every session."""
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for c in range(2):
+        for i in range(4):  # burst 1: minutes 0..3
+            rows.append((f"c{c}", i, "user", f"hello {c} {i} a b c",
+                         "text/plain", base + dt.timedelta(minutes=i)))
+        for i in range(3):  # burst 2: minutes 120..122 (gap 30m closes #1)
+            rows.append((f"c{c}", 10 + i, "user", f"again {c} {i} x y z",
+                         "text/plain", base + dt.timedelta(minutes=120 + i)))
+    rows.append(("flush", 0, "user", "flush turn far in the future a b",
+                 "text/plain", base + dt.timedelta(days=7)))
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_stream_sessionize(spark, tmp_path):
+    df = _session_corpus(spark)
+    inp = str(tmp_path / "in")
+    df.write.parquet(inp)
+    q = stream_sessionize(spark, inp, "sess_test", watermark="30 minutes",
+                          gap="30 minutes")
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.n_turns, r.first_turn, r.last_turn)
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    # each conversation closed two sessions before the flush watermark
+    for c in range(2):
+        assert (f"c{c}", 4, 0, 3) in got, got
+        assert (f"c{c}", 3, 10, 12) in got, got
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c0", 0, "user", "short text", "text/plain", base),  # 2 tokens: dropped
+        ("c0", 1, "user", "mail me at bob@example.com for the data set",
+         "text/plain", base),
+        ("c1", 0, "user", "one two three four five six", "text/plain", base),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    df.write.parquet(inp)
+    q = stream_quality_filter(spark, inp, out, ckpt, min_tokens=5)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    texts = {r.text for r in got.select("text").collect()}
+    assert "mail me at <EMAIL> for the data set" in texts
+    assert all("@" not in t for t in texts)
+
+    # restart with no new files: nothing reprocessed (exactly-once sink)
+    q2 = stream_quality_filter(spark, inp, out, ckpt, min_tokens=5)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 2
