@@ -17,6 +17,29 @@ import numpy as np
 from img2table_spark.kernels.jpeg import _C, ZIGZAG
 
 
+# ----------------------------------------------------------------------- PNG
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """RGB uint8 → PNG (color type 2, filter 0 rows, one zlib IDAT)."""
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 # ----------------------------------------------------------------------- BMP
 
 def encode_bmp24(img: np.ndarray) -> bytes:

@@ -6,7 +6,10 @@ this environment, so those kernels are STUBBED behind a deterministic fake
 (`fake_features=True`, default in tests) or `NotImplementedError` — but the
 Spark-side plumbing is real and tested: schema, partitioning, Arrow batch
 shape, and the UDF signatures are exactly what a codec-backed kernel would
-drop into. PNG images decode for real (kernels/png.py).
+drop into. Images decode for real through the full codec matrix
+(kernels/image_doc.decode_image_bytes: PNG/JPEG/BMP/TIFF/WebP/PNM/HDR/EXR),
+and perceptual near-dup detection (dHash + banded Hamming LSH) runs
+entirely on that path — the image twin of the SimHash text operator.
 """
 
 from __future__ import annotations
@@ -41,16 +44,36 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+_MAGIC_MIME = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8", "image/jpeg"),
+    (b"BM", "image/bmp"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
+    (b"RIFF", "image/webp"),
+    (b"#?", "image/vnd.radiance"),
+    (b"\x76\x2f\x31\x01", "image/x-exr"),
+]
+
+
+def _sniff_mime(payload: bytes) -> str:
+    for magic, mime in _MAGIC_MIME:
+        if payload[: len(magic)] == magic:
+            return mime
+    return "image/unknown"
+
+
 def _decode_one(payload: bytes, kind: str, fake_features: bool) -> dict:
     out = {
         "mime": None, "n_bytes": len(payload), "width": None, "height": None,
         "duration_ms": None, "features": None, "error": None,
     }
-    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        from img2table_spark.kernels.png import decode_png
+    if kind == "image":
+        # full codec dispatch (PNG/JPEG/BMP/TIFF/WebP/PNM/HDR/EXR/...)
+        from img2table_spark.kernels.image_doc import decode_image_bytes
 
-        img = decode_png(payload)
-        out["mime"] = "image/png"
+        img = decode_image_bytes(payload)
+        out["mime"] = _sniff_mime(payload)
         out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
         # 8×8 grayscale thumbnail as a real feature vector
         g = img.mean(axis=2)
@@ -120,3 +143,92 @@ def decode_media(
             )
 
     return slim.mapInPandas(gen, MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------- perceptual dedup
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), True),   # signed two's-complement view
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(media_id, 64-bit dHash) over an image binary column — Arrow-batched,
+    any supported codec (kernels/phash.py). Decode errors become rows."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    ).repartition(num_partitions, "media_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from img2table_spark.kernels.image_doc import decode_image_bytes
+        from img2table_spark.kernels.phash import dhash64
+
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                try:
+                    v = dhash64(decode_image_bytes(bytes(payload)))
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                    errs.append(None)
+                except Exception as exc:
+                    hashes.append(None)
+                    errs.append(repr(exc)[:200])
+            yield pd.DataFrame({"media_id": ids, "dhash": pd.array(hashes, dtype="Int64"), "error": errs})
+
+    return slim.mapInPandas(gen, _DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Near-dup image pairs: band the 64-bit dHash into 8×8-bit LSH keys,
+    equi-join on (band, value), verify Hamming ≤ max_dist JVM-side
+    (bit_count over xor). Pigeonhole: any pair within 7 bits shares a clean
+    band, so recall is exact for max_dist ≤ 7 — same shape as the SimHash
+    text path, no all-pairs scan at any corpus size."""
+    if not 0 <= max_dist <= 7:
+        raise ValueError("banded recall guarantee holds for max_dist <= 7")
+    h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftrightunsigned(dhash, {8 * i}) & 255").alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "val"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("dist", F.expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
