@@ -1926,6 +1926,120 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q31 — TF-IDF top terms per document. The idf weight is INTEGER
+# ((100·N)//df — log-free so both engines agree bit-for-bit; ordering is
+# what matters for term selection), score = tf · idf_pct, top-3 terms by
+# (score desc, tok asc). The document-frequency table is a tiny vocabulary
+# aggregate → broadcast back to the per-doc term counts, so hot tokens are
+# agg keys and a BROADCAST side — never a shuffled join key (the classic
+# skew trap for corpus-statistics joins at 100 TB).
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q31_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar: one number, not data
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf_pct", F.expr(f"(100 * {n_docs}) div df"))
+    )
+    scored = tf.join(F.broadcast(df_tbl), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_pct")).alias("score")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    )
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "tok", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+Q31_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfv AS (
+  SELECT tok, COUNT(*) AS df,
+         (100 * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_pct
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) d GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf * v.idf_pct AS score FROM tf t JOIN dfv v USING (tok)
+)
+SELECT doc_id, tok, score, rnk FROM (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+  FROM scored
+) q WHERE rnk <= {_TFIDF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — quality-aware dedup keeper selection: compose the near-dup clusters
+# (q16's label propagation) with per-doc quality (token count) and keep the
+# HIGHEST-quality member per cluster (ties → smallest doc_id) — the actual
+# decision a curation pipeline makes, not just "min doc_id wins". One join
+# of cluster labels (small: only docs in clusters) against per-doc stats.
+# --------------------------------------------------------------------------
+
+
+def q32_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _lp_labels(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    members = labels.join(q, labels["node"] == q["doc_id"]).select(
+        "label", "doc_id", "n_tok"
+    )
+    best = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+    )
+    return (
+        members.withColumn("rnk", best)
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("doc_id").alias("keeper"),
+            F.col("n_tok").alias("keeper_tokens"),
+        )
+        .join(
+            members.groupBy("label").agg(F.count("*").alias("n_members")),
+            F.col("cluster_id") == F.col("label"),
+        )
+        .select("cluster_id", "keeper", "keeper_tokens", "n_members")
+    )
+
+
+Q32_SQL = f"""
+WITH RECURSIVE {_Q16_CTES},
+q AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok FROM documents),
+members AS (
+  SELECT c.label, c.node AS doc_id, q.n_tok FROM comp c JOIN q ON q.doc_id = c.node
+),
+best AS (
+  SELECT label, doc_id, n_tok,
+         row_number() OVER (PARTITION BY label ORDER BY n_tok DESC, doc_id ASC) AS rnk
+  FROM members
+),
+counts AS (SELECT label, COUNT(*) AS n_members FROM members GROUP BY label)
+SELECT b.label AS cluster_id, b.doc_id AS keeper,
+       CAST(b.n_tok AS BIGINT) AS keeper_tokens, c.n_members
+FROM best b JOIN counts c USING (label)
+WHERE b.rnk = 1
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -1957,6 +2071,8 @@ QUERIES = {
     "q28_main_content": q28_main_content,
     "q29_asof_join": q29_asof_join,
     "q30_range_join": q30_range_join,
+    "q31_tfidf_topk": q31_tfidf_topk,
+    "q32_dedup_keep_best": q32_dedup_keep_best,
 }
 
 ORACLES = {
@@ -1990,4 +2106,6 @@ ORACLES = {
     "q28_main_content": Q28_SQL,
     "q29_asof_join": Q29_SQL,
     "q30_range_join": Q30_SQL,
+    "q31_tfidf_topk": Q31_SQL,
+    "q32_dedup_keep_best": Q32_SQL,
 }
