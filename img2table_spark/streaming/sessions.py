@@ -88,3 +88,64 @@ def stream_quality_filter(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------- multimodal streaming
+
+MEDIA_STREAM_SCHEMA = "media_id LONG, ts TIMESTAMP, payload BINARY"
+
+
+def stream_image_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming perceptual image dedup: dHash each arriving image payload
+    (Arrow-batched mapInPandas, any supported codec) and keep the first
+    arrival per hash within the watermark horizon. Hash EQUALITY collapses
+    lossless re-encodes (PNG↔BMP↔TIFF↔HDR↔EXR hash identically — pinned in
+    tests); near-dup banding beyond equality is the batch path
+    (operators.multimodal.dhash_neardup_pairs). Decode failures pass
+    through with a null hash rather than killing the stream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    stream = (
+        spark.readStream.schema(MEDIA_STREAM_SCHEMA).parquet(input_dir)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from img2table_spark.kernels.image_doc import decode_image_bytes
+        from img2table_spark.kernels.phash import dhash64
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                try:
+                    v = dhash64(decode_image_bytes(bytes(payload)))
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except Exception:
+                    hashes.append(None)
+            out = pdf[["media_id", "ts"]].copy()
+            out["dhash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    hashed = stream.mapInPandas(gen, "media_id LONG, ts TIMESTAMP, dhash LONG")
+    deduped = (
+        hashed.filter("dhash IS NOT NULL")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["dhash"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -70,3 +70,33 @@ def test_stream_quality_filter_matches_batch(spark, tmp_path):
     q2 = stream_quality_filter(spark, inp, out, ckpt, min_tokens=5)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_image_dedup(spark, tmp_path):
+    import numpy as np
+
+    from img2table_spark.kernels.encoders import encode_bmp24, encode_png
+    from img2table_spark.streaming.sessions import stream_image_dedup
+
+    base = dt.datetime(2026, 1, 1)
+
+    def img(seed):
+        small = np.random.RandomState(seed).randint(0, 256, (8, 8, 3))
+        return np.repeat(np.repeat(small, 8, 0), 8, 1).astype(np.uint8)
+
+    rows = [
+        (0, base, bytearray(encode_png(img(1)))),
+        (1, base + dt.timedelta(minutes=1), bytearray(encode_bmp24(img(1)))),  # re-encode dup
+        (2, base + dt.timedelta(minutes=2), bytearray(encode_png(img(2)))),
+        (3, base + dt.timedelta(minutes=3), bytearray(b"not an image at all")),  # null hash
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ts timestamp, payload binary")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("min", "mout", "mckpt"))
+    df.write.parquet(inp)
+    q = stream_image_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    ids = {r.media_id for r in got.collect()}
+    assert 2 in ids
+    assert len(ids & {0, 1}) == 1  # the re-encoded twin collapsed
+    assert 3 not in ids
