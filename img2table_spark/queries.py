@@ -2040,6 +2040,63 @@ WHERE b.rnk = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q33 — domain-level curation stats (RefinedWeb-style): attach a
+# deterministic source URL to each doc (identical string algebra both sides),
+# extract the host by regex (no parse_url in DuckDB), and roll up per-domain
+# document counts + mean quality + a low-quality flag. Domain rollups are
+# the unit of web-corpus curation decisions; the agg keys on host so hot
+# domains are agg keys, never join keys.
+# --------------------------------------------------------------------------
+
+_URL_HOST_RE = "^https?://([^/]+)/"
+
+
+def q33_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/page"),
+        F.col("doc_id").cast("string"),
+    )
+    t = docs.select(
+        "doc_id",
+        F.regexp_extract(url, _URL_HOST_RE, 1).alias("host"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_dist"),
+    )
+    return (
+        t.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            ((100 * F.sum("n_dist")) / F.sum("n_tok")).cast("long").alias("ttr_pct"),
+        )
+        .withColumn(
+            "low_quality", (F.col("ttr_pct") < 20).cast("long")
+        )
+    )
+
+
+Q33_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract('https://site' || CAST(doc_id % 50 AS VARCHAR)
+                        || '.example.com/page' || CAST(doc_id AS VARCHAR),
+                        '^https?://([^/]+)/', 1) AS host,
+         len(str_split(text, ' ')) AS n_tok,
+         len(list_distinct(str_split(text, ' '))) AS n_dist
+  FROM documents
+)
+SELECT host, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST((100 * SUM(n_dist)) // SUM(n_tok) AS BIGINT) AS ttr_pct,
+       CAST(CASE WHEN (100 * SUM(n_dist)) // SUM(n_tok) < 20 THEN 1 ELSE 0 END AS BIGINT)
+         AS low_quality
+FROM t GROUP BY host
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -2073,6 +2130,7 @@ QUERIES = {
     "q30_range_join": q30_range_join,
     "q31_tfidf_topk": q31_tfidf_topk,
     "q32_dedup_keep_best": q32_dedup_keep_best,
+    "q33_domain_stats": q33_domain_stats,
 }
 
 ORACLES = {
@@ -2108,4 +2166,5 @@ ORACLES = {
     "q30_range_join": Q30_SQL,
     "q31_tfidf_topk": Q31_SQL,
     "q32_dedup_keep_best": Q32_SQL,
+    "q33_domain_stats": Q33_SQL,
 }
