@@ -278,6 +278,77 @@ def encode_tiff_tiled(img: np.ndarray, tile_w: int = 64, tile_l: int = 64,
     return bytes(out)
 
 
+def encode_tiff_tiled_bilevel(img: np.ndarray, tile_w: int = 64,
+                              tile_l: int = 64, compression: int = 1,
+                              photometric: int = 0) -> bytes:
+    """RGB uint8 → TILED bilevel TIFF (1 bit/sample, packed rows): pixels
+    with gray >= 128 become white. photometric 0 = WhiteIsZero (bit 0 =
+    white, the fax convention), 1 = BlackIsZero."""
+    h, w, _ = img.shape
+    if tile_w % 16 or tile_l % 16:
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+    gray = img.astype(np.uint16).sum(axis=2) // 3
+    white = gray >= 128
+    # bit value for a white pixel under each photometric
+    bits_img = (~white if photometric == 0 else white).astype(np.uint8)
+    tiles_across = (w + tile_w - 1) // tile_w
+    tiles_down = (h + tile_l - 1) // tile_l
+    tiles = []
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            block = np.zeros((tile_l, tile_w), dtype=np.uint8)
+            part = bits_img[ty * tile_l : (ty + 1) * tile_l,
+                            tx * tile_w : (tx + 1) * tile_w]
+            block[: part.shape[0], : part.shape[1]] = part
+            raw = np.packbits(block, axis=1).tobytes()
+            if compression == 5:
+                raw = tiff_lzw_encode(raw)
+            elif compression == 8:
+                raw = zlib.compress(raw)
+            elif compression == 32773:
+                raw = packbits_encode(raw)
+            tiles.append(raw)
+
+    n_tiles = len(tiles)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
+        (259, 3, 1, compression), (262, 3, 1, photometric), (277, 3, 1, 1),
+        (284, 3, 1, 1), (322, 3, 1, tile_w), (323, 3, 1, tile_l),
+        (324, 4, n_tiles, None), (325, 4, n_tiles, None),
+    ]
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+    tile_data_base = extra_base + (4 * n_tiles * 2 if n_tiles > 1 else 0)
+    offsets = []
+    pos = tile_data_base
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    counts = [len(t) for t in tiles]
+    if n_tiles > 1:
+        extra.extend(struct.pack(f"<{n_tiles}I", *offsets))
+        off_off = extra_base
+        extra.extend(struct.pack(f"<{n_tiles}I", *counts))
+        cnt_off = extra_base + 4 * n_tiles
+    else:
+        off_off, cnt_off = offsets[0], counts[0]
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if tag == 324:
+            val = off_off
+        elif tag == 325:
+            val = cnt_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
 def _split_jpeg_dqt(stream: bytes) -> tuple[bytes, bytes]:
     """(dqt_segments, stream_without_dqt): walk the marker segments before
     SOS and hoist the DQT segments — the JPEGTables fixture shape (TTN2

@@ -4,11 +4,12 @@ TIFF is the scanned-document interchange format; the reference accepts it
 via cv2.imdecode (reference document/image.py:25-32, README input list).
 Supported: both byte orders, strip-based baseline TIFF — bilevel (1-bit),
 grayscale (8-bit, WhiteIsZero/BlackIsZero), palette, RGB(A) — plus TILED
-layout (TIFF 6.0 §15, 8-bit paths) with edge-tile padding; Compression
-none(1) / LZW(5, with early-change and horizontal predictor) / deflate
-(8/32946) / PackBits(32773) / new-style JPEG (7, TTN2: per-strip/tile JPEG
-streams with optional shared JPEGTables). Old-style JPEG (6) and bilevel
-tiles are rejected loudly.
+layout (TIFF 6.0 §15, 8-bit and bilevel paths; tile width must be a
+multiple of 16 per §15.2, which keeps packed 1-bit tile rows byte-aligned)
+with edge-tile padding; Compression none(1) / LZW(5, with early-change and
+horizontal predictor) / deflate (8/32946) / PackBits(32773) / new-style
+JPEG (7, TTN2: per-strip/tile JPEG streams with optional shared
+JPEGTables). Old-style JPEG (6) is rejected loudly.
 """
 
 from __future__ import annotations
@@ -245,20 +246,22 @@ def decode_tiff(data: bytes) -> np.ndarray:
     row_bytes = (w * bps[0] * spp + 7) // 8 if bit1 else w * spp
     if tiled:
         # TIFF 6.0 §15: tiles are (tile_w × tile_l) each, edge tiles padded
-        # to full size, ordered left-to-right then top-to-bottom
-        if bit1:
-            raise TIFFError("bilevel tiled TIFF unsupported")
+        # to full size, ordered left-to-right then top-to-bottom. Tile
+        # dimensions must be multiples of 16 (§15.2), so bilevel tile rows
+        # are always byte-aligned packed bits.
+        if bit1 and (tile_w % 16 or predictor == 2):
+            raise TIFFError("malformed bilevel tiled TIFF")
         tiles_across = (w + tile_w - 1) // tile_w
         tiles_down = (h + tile_l - 1) // tile_l
         if len(offsets) < tiles_across * tiles_down:
             raise TIFFError("truncated tile offsets")
-        tile_row_bytes = tile_w * spp
+        tile_row_bytes = (tile_w // 8) if bit1 else tile_w * spp
         full = np.zeros((tiles_down * tile_l, tiles_across * tile_row_bytes),
                         dtype=np.uint8)
         for ti in range(tiles_across * tiles_down):
             so, sc = offsets[ti], counts[ti]
             tile = decomp(data[so : so + sc])
-            if predictor == 2:
+            if predictor == 2 and not bit1:
                 tile = _undo_predictor(tile, tile_l, tile_row_bytes)
             need = tile_l * tile_row_bytes
             if len(tile) < need:
@@ -270,6 +273,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             ] = np.frombuffer(tile[:need], dtype=np.uint8).reshape(
                 tile_l, tile_row_bytes
             )
+        if bit1:
+            bits = np.unpackbits(full, axis=1)[:h, :w]
+            if photo == 0:  # WhiteIsZero
+                g = np.where(bits == 0, 255, 0).astype(np.uint8)
+            else:
+                g = np.where(bits == 0, 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
         # crop padding: reshape to pixels, cut to (h, w), back to rows
         px_full = full.reshape(tiles_down * tile_l, tiles_across * tile_w, spp)
         arr = np.ascontiguousarray(px_full[:h, :w]).reshape(h, row_bytes)

@@ -209,3 +209,28 @@ def test_tiff_jpeg_tiled(test_img):
                                                           : part.shape[1]]
     data = encode_tiff_jpeg(test_img, tile=(64, 64), external_tables=True)
     assert np.array_equal(decode_tiff(data), want)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773],
+                         ids=["none", "lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("photometric", [0, 1], ids=["white0", "black0"])
+def test_tiff_tiled_bilevel_roundtrip(compression, photometric):
+    from img2table_spark.kernels.encoders import encode_tiff_tiled_bilevel
+
+    rng = np.random.RandomState(9)
+    img = (rng.randint(0, 2, (70, 90, 1)) * 255).astype(np.uint8).repeat(3, axis=2)
+    data = encode_tiff_tiled_bilevel(img, 64, 64, compression=compression,
+                                     photometric=photometric)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_tiff_tiled_bilevel_rejects_bad_tile_width():
+    from img2table_spark.kernels.encoders import encode_tiff_tiled_bilevel
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    data = bytearray(encode_tiff_tiled_bilevel(img, 64, 64))
+    # corrupt TileWidth (tag 322) to a non-multiple of 16
+    idx = data.find(struct.pack("<HHII", 322, 3, 1, 64))
+    data[idx + 8 : idx + 12] = struct.pack("<I", 60)
+    with pytest.raises(Exception):
+        decode_tiff(bytes(data))
