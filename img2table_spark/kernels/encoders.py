@@ -349,6 +349,39 @@ def encode_tiff_tiled_bilevel(img: np.ndarray, tile_w: int = 64,
     return bytes(out)
 
 
+def encode_tiff_jpeg_oldstyle(img: np.ndarray, qval: int = 2) -> bytes:
+    """RGB → old-style JPEG-in-TIFF (compression 6, the common field
+    variant): one full JPEG interchange stream referenced by
+    JPEGInterchangeFormat/Length; no strip offsets at all."""
+    h, w, _ = img.shape
+    stream = encode_jpeg_progressive(img, qval=qval)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None), (259, 3, 1, 6),
+        (262, 3, 1, 6),  # PhotometricInterpretation = YCbCr
+        (277, 3, 1, 3), (284, 3, 1, 1),
+        (513, 4, 1, None), (514, 4, 1, len(stream)),
+    ]
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+    bps_off = extra_base
+    extra.extend(struct.pack("<3H", 8, 8, 8))
+    stream_off = extra_base + len(extra)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if tag == 258:
+            val = bps_off
+        elif tag == 513:
+            val = stream_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += extra
+    out += stream
+    return bytes(out)
+
+
 def _split_jpeg_dqt(stream: bytes) -> tuple[bytes, bytes]:
     """(dqt_segments, stream_without_dqt): walk the marker segments before
     SOS and hoist the DQT segments — the JPEGTables fixture shape (TTN2

@@ -9,7 +9,9 @@ multiple of 16 per §15.2, which keeps packed 1-bit tile rows byte-aligned)
 with edge-tile padding; Compression none(1) / LZW(5, with early-change and
 horizontal predictor) / deflate (8/32946) / PackBits(32773) / new-style
 JPEG (7, TTN2: per-strip/tile JPEG streams with optional shared
-JPEGTables). Old-style JPEG (6) is rejected loudly.
+JPEGTables) / old-style JPEG (6, the common interchange-stream variant via
+JPEGInterchangeFormat; the ambiguous bare-MCU tables-pointer variant is
+rejected loudly).
 """
 
 from __future__ import annotations
@@ -206,6 +208,30 @@ def decode_tiff(data: bytes) -> np.ndarray:
         counts = tags.get(325)
         if offsets is None:
             raise TIFFError("tiled TIFF without TileOffsets")
+    if comp == 6:
+        # old-style JPEG-in-TIFF (pre-TTN2). The dominant variant in the
+        # wild embeds one complete JPEG interchange stream at
+        # JPEGInterchangeFormat (513) / ...Length (514) — decode it
+        # directly. The tables-pointer variant (JPEGQTables 519 etc. with
+        # bare per-strip MCU data) is ambiguous by spec (why TTN2 replaced
+        # it) and stays rejected.
+        jif = tags.get(513)
+        if not jif:
+            raise TIFFError(
+                "old-style JPEG-in-TIFF without an interchange stream unsupported"
+            )
+        off = jif[0]
+        length = (tags.get(514) or [len(data) - off])[0]
+        from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
+
+        try:
+            img = decode_jpeg(data[off : off + length])
+        except JPEGError as exc:
+            raise TIFFError(f"old-style JPEG-in-TIFF: {exc}") from exc
+        if img.shape[0] < h or img.shape[1] < w:
+            raise TIFFError("old-style JPEG stream smaller than the page")
+        return np.ascontiguousarray(img[:h, :w])
+
     if offsets is None:
         raise TIFFError("missing strips")
     if counts is None:

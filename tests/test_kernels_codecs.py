@@ -234,3 +234,30 @@ def test_tiff_tiled_bilevel_rejects_bad_tile_width():
     data[idx + 8 : idx + 12] = struct.pack("<I", 60)
     with pytest.raises(Exception):
         decode_tiff(bytes(data))
+
+
+def test_tiff_jpeg_oldstyle_decodes_like_bare_stream(test_img):
+    from img2table_spark.kernels.encoders import encode_tiff_jpeg_oldstyle
+
+    via_tiff = decode_tiff(encode_tiff_jpeg_oldstyle(test_img))
+    direct = decode_jpeg(encode_jpeg_progressive(test_img, qval=2))
+    assert np.array_equal(via_tiff, direct)
+
+
+def test_tiff_jpeg_oldstyle_extracts_golden_tables(test_img):
+    from img2table_spark.kernels.encoders import encode_tiff_jpeg_oldstyle
+
+    assert _golden_tables(decode_image_bytes(encode_tiff_jpeg_oldstyle(test_img))) == GOLDEN
+
+
+def test_tiff_jpeg_oldstyle_rejects_tables_pointer_variant(test_img):
+    from img2table_spark.kernels.encoders import encode_tiff_jpeg_oldstyle
+    from img2table_spark.kernels.tiff import TIFFError
+
+    data = bytearray(encode_tiff_jpeg_oldstyle(test_img))
+    # strip the JPEGInterchangeFormat tag (513) -> the ambiguous variant
+    idx = data.find(struct.pack("<HH", 513, 4))
+    del data[idx : idx + 12]
+    struct.pack_into("<H", data, 8, struct.unpack_from("<H", data, 8)[0] - 1)
+    with pytest.raises(TIFFError, match="old-style"):
+        decode_tiff(bytes(data))
