@@ -1260,7 +1260,9 @@ def _q14_corpus_rows() -> tuple:
             encode_jpeg_progressive,
             encode_tiff,
             encode_tiff_jpeg,
+            encode_tiff_jpeg_oldstyle,
             encode_tiff_tiled,
+            encode_tiff_tiled_bilevel,
         )
         from img2table_spark.kernels.exr import encode_exr
         from img2table_spark.kernels.hdr import encode_hdr
@@ -1278,6 +1280,8 @@ def _q14_corpus_rows() -> tuple:
                 (encode_tiff_jpeg(test_img, rows_per_strip=64, external_tables=True), "image/tiff"),
                 (encode_hdr(test_img), "image/vnd.radiance"),
                 (encode_exr(test_img, compression=3), "image/x-exr"),
+                (encode_tiff_tiled_bilevel(test_img, 64, 64, compression=5), "image/tiff"),
+                (encode_tiff_jpeg_oldstyle(test_img), "image/tiff"),
             ],
             start=12,
         ):
