@@ -18,9 +18,11 @@ Format (Radiance file format spec, public):
     count-128 times; else copy count literal bytes).
 
 The fixture encoder emits new-style RLE and picks mantissas by rounding at
-the shared exponent, which keeps the absolute error of every channel under
-M/512 ≤ 0.5 gray levels — so uint8 images survive an encode→decode round
-trip bit-exactly (tested in tests/test_kernels_hdr.py).
+the shared exponent. Because all three channels share one RGBE exponent, the
+round trip is bit-exact only for gray/equal-channel uint8 images; color
+images can come back ±1 on minority channels (the channel with the largest
+value pins the exponent, the others quantize at its step). Both behaviors
+are pinned in tests/test_kernels_hdr_exr.py.
 """
 
 from __future__ import annotations

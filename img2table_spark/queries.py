@@ -1703,9 +1703,17 @@ def q27_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("t").cast("long").alias("n_tok"),
         (F.size("t") - 1).cast("long").alias("n_bi"),
+        # Guard the 1-token case explicitly: sequence(0, -1) counts DOWN under
+        # Spark 4 ([0,-1]) and t[-1] throws INVALID_ARRAY_INDEX in ANSI mode.
+        # The n_bi >= 1 filter below only saves us while predicate pushdown
+        # happens to reorder evaluation — don't rely on it.
         F.size(
             F.array_distinct(
-                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1])) "
+                    "ELSE array() END"
+                )
             )
         ).cast("long").alias("n_bi_d"),
     ).filter(F.col("n_bi") >= 1)

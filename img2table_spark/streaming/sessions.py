@@ -106,9 +106,11 @@ def stream_image_dedup(
     """Streaming perceptual image dedup: dHash each arriving image payload
     (Arrow-batched mapInPandas, any supported codec) and keep the first
     arrival per hash within the watermark horizon. Hash EQUALITY collapses
-    lossless re-encodes (PNG↔BMP↔TIFF↔HDR↔EXR hash identically — pinned in
-    tests); near-dup banding beyond equality is the batch path
-    (operators.multimodal.dhash_neardup_pairs). Decode failures pass
+    lossless re-encodes (PNG↔BMP↔TIFF↔EXR hash identically — pinned in
+    tests; HDR is ±1 from the shared RGBE exponent, so a natural-image HDR
+    re-encode can flip gradient-sign bits near ties and is only *typically*
+    identical — rare flips fall back to the batch banded near-dup path,
+    operators.multimodal.dhash_neardup_pairs). Decode failures pass
     through with a null hash rather than killing the stream."""
     from collections.abc import Iterator
 
