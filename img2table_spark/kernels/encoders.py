@@ -349,6 +349,81 @@ def encode_tiff_tiled_bilevel(img: np.ndarray, tile_w: int = 64,
     return bytes(out)
 
 
+def encode_tiff_ccitt(img: np.ndarray, compression: int = 4,
+                      rows_per_strip: int | None = None,
+                      two_d: bool = False, fill_order: int = 1) -> bytes:
+    """RGB uint8 → CCITT fax TIFF (bilevel, threshold at gray 128).
+    compression 2 = Modified Huffman RLE (byte-aligned rows, no EOL),
+    3 = T.4 G3 (1-D, or 2-D with EOL+tag lines when two_d), 4 = T.6 G4 MMR.
+    Strips restart the coder (TIFF 6.0 requires independently decodable
+    strips). PhotometricInterpretation 0 (WhiteIsZero, the fax layout)."""
+    from img2table_spark.kernels.ccitt import _REV8, encode_ccitt
+
+    h, w, _ = img.shape
+    gray = img.astype(np.uint16).sum(axis=2) // 3
+    black = (gray < 128).astype(np.uint8)
+    rows_per_strip = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        block = black[y0 : y0 + rows_per_strip]
+        if compression == 2:
+            raw = encode_ccitt(block, mode="mh", byte_align=True)
+        elif compression == 3:
+            raw = (encode_ccitt(block, mode="g3_2d", eol=True, k=2)
+                   if two_d else encode_ccitt(block, mode="mh", eol=True))
+        elif compression == 4:
+            raw = encode_ccitt(block, mode="g4")
+        else:
+            raise ValueError(f"not a CCITT compression: {compression}")
+        if fill_order == 2:
+            raw = _REV8[np.frombuffer(raw, dtype=np.uint8)].tobytes()
+        strips.append(raw)
+
+    n_strips = len(strips)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
+        (259, 3, 1, compression), (262, 3, 1, 0), (266, 3, 1, fill_order),
+        (273, 4, n_strips, None), (277, 3, 1, 1), (278, 3, 1, rows_per_strip),
+        (279, 4, n_strips, None), (284, 3, 1, 1),
+    ]
+    if compression == 3:
+        tag_list.append((292, 4, 1, 1 if two_d else 0))  # T4Options
+    if compression == 4:
+        tag_list.append((293, 4, 1, 0))  # T6Options
+    tag_list.sort()
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+    strip_data_base = extra_base + (4 * n_strips * 2 if n_strips > 1 else 0)
+    offsets = []
+    pos = strip_data_base
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    counts = [len(s) for s in strips]
+    if n_strips > 1:
+        extra.extend(struct.pack(f"<{n_strips}I", *offsets))
+        off_off = extra_base
+        extra.extend(struct.pack(f"<{n_strips}I", *counts))
+        cnt_off = extra_base + 4 * n_strips
+    else:
+        off_off, cnt_off = offsets[0], counts[0]
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if tag == 273:
+            val = off_off
+        elif tag == 279:
+            val = cnt_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def encode_tiff_jpeg_oldstyle(img: np.ndarray, qval: int = 2) -> bytes:
     """RGB → old-style JPEG-in-TIFF (compression 6, the common field
     variant): one full JPEG interchange stream referenced by
@@ -785,6 +860,63 @@ def encode_jpeg_progressive(img: np.ndarray, qval: int = 2, subsample: bool = Fa
 
 
 # ----------------------------------------------------------- text-layer PDF
+
+def build_ccitt_scanned_pdf(img: np.ndarray, k: int = -1) -> bytes:
+    """Scanned-style one-page PDF whose full-page image XObject is a
+    CCITTFaxDecode stream (K<0 = G4 MMR, the overwhelmingly common real
+    case; K=0 = 1-D MH; K>0 = mixed 2-D). Page sized so 200-DPI page space
+    equals image pixels — the same geometry contract as the DCT/Flate
+    scanned fixtures. BlackIs1 false (default): black pixels decode to
+    sample 0 under DeviceGray 1-bit."""
+    from img2table_spark.kernels.ccitt import encode_ccitt
+
+    h_px, w_px, _ = img.shape
+    gray = img.astype(np.uint16).sum(axis=2) // 3
+    black = (gray < 128).astype(np.uint8)
+    if k < 0:
+        stream = encode_ccitt(black, mode="g4")
+    elif k == 0:
+        stream = encode_ccitt(black, mode="mh")
+    else:
+        stream = encode_ccitt(black, mode="g3_2d", eol=True, k=k)
+    page_w = w_px * 72 / 200
+    page_h = h_px * 72 / 200
+    content = f"q {page_w:.4f} 0 0 {page_h:.4f} 0 0 cm /Im1 Do Q".encode()
+
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:.4f} "
+            f"{page_h:.4f}] /Resources << /XObject << /Im1 4 0 R >> >> "
+            f"/Contents 5 0 R >>"
+        ).encode(),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets.append(len(out))
+    out += (
+        f"4 0 obj\n<< /Type /XObject /Subtype /Image /Width {w_px} "
+        f"/Height {h_px} /ColorSpace /DeviceGray /BitsPerComponent 1 "
+        f"/Filter /CCITTFaxDecode /DecodeParms << /K {k} /Columns {w_px} "
+        f"/Rows {h_px} /BlackIs1 false >> /Length {len(stream)} >>\nstream\n"
+    ).encode()
+    out += stream + b"\nendstream\nendobj\n"
+    offsets.append(len(out))
+    out += f"5 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+    out += content + b"\nendstream\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
 
 def build_text_pdf(pages) -> bytes:
     """Synthetic TEXT-LAYER PDF fixture: ``pages`` is a list of

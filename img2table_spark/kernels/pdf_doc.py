@@ -469,6 +469,35 @@ def _decode_xobject_image(doc: PdfDocument, xobj) -> "np.ndarray | None":
         from img2table_spark.kernels.jpeg import decode_jpeg
 
         return decode_jpeg(xobj[2])
+    if "CCITTFaxDecode" in filt_names:
+        # Group 3/4 fax image (the classic scanned-page PDF payload).
+        # Reference renders these via pdfium (document/pdf.py:46-67).
+        from img2table_spark.kernels.ccitt import CCITTError, decode_ccitt_pdf
+
+        parms = doc.resolve(d.get("DecodeParms") or d.get("DP")) or {}
+        if isinstance(parms, list):  # one parm dict per filter
+            parms = next(
+                (doc.resolve(p) for p in parms
+                 if isinstance(doc.resolve(p), dict)), {})
+        k = int(doc.resolve(parms.get("K", 0)) or 0)
+        cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+        nrows = int(doc.resolve(parms.get("Rows", height)) or height)
+        byte_align = bool(doc.resolve(parms.get("EncodedByteAlign", False)))
+        black_is_1 = bool(doc.resolve(parms.get("BlackIs1", False)))
+        try:
+            black = decode_ccitt_pdf(
+                xobj[2], cols, nrows, k=k, byte_align=byte_align
+            )
+        except CCITTError:
+            return None
+        # filter output: black pixels are 0 unless BlackIs1; a /Decode
+        # [1 0] array inverts the sample→gray mapping on top of that
+        bits = black if black_is_1 else (1 - black)
+        dec = doc.resolve(d.get("Decode"))
+        if dec and float(doc.resolve(dec[0])) == 1.0:
+            bits = 1 - bits
+        g = (bits * 255).astype(np.uint8)[:height, :width]
+        return np.repeat(g[:, :, None], 3, axis=2)
     if filt_names in ([], ["FlateDecode"]):
         import zlib as _z
 

@@ -6,7 +6,9 @@ Supported: both byte orders, strip-based baseline TIFF — bilevel (1-bit),
 grayscale (8-bit, WhiteIsZero/BlackIsZero), palette, RGB(A) — plus TILED
 layout (TIFF 6.0 §15, 8-bit and bilevel paths; tile width must be a
 multiple of 16 per §15.2, which keeps packed 1-bit tile rows byte-aligned)
-with edge-tile padding; Compression none(1) / LZW(5, with early-change and
+with edge-tile padding; Compression none(1) / CCITT fax (2 = Modified
+Huffman RLE, 3 = T.4 G3 1-D/2-D, 4 = T.6 G4 MMR — kernels/ccitt.py, strip
+layout, FillOrder 1/2) / LZW(5, with early-change and
 horizontal predictor) / deflate (8/32946) / PackBits(32773) / new-style
 JPEG (7, TTN2: per-strip/tile JPEG streams with optional shared
 JPEGTables) / old-style JPEG (6, the common interchange-stream variant via
@@ -30,6 +32,13 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4
 
 
 def _read_ifd(data: bytes, off: int, eb: str) -> dict[int, list[int]]:
+    try:
+        return _read_ifd_inner(data, off, eb)
+    except struct.error as exc:
+        raise TIFFError(f"truncated IFD: {exc}") from exc
+
+
+def _read_ifd_inner(data: bytes, off: int, eb: str) -> dict[int, list[int]]:
     (n,) = struct.unpack_from(eb + "H", data, off)
     tags: dict[int, list[int]] = {}
     for i in range(n):
@@ -249,6 +258,47 @@ def decode_tiff(data: bytes) -> np.ndarray:
             data, w, h, offsets, counts, jpeg_tables,
             tiled, tile_w, tile_l, rows_per_strip,
         )
+
+    if comp in (2, 3, 4):
+        # CCITT G3/G4 fax (the dominant scanned-document compression):
+        # comp 2 = Modified Huffman RLE, 3 = T.4 G3 (T4Options tag picks
+        # 1-D/2-D), 4 = T.6 MMR. Bilevel only by spec; strips decode
+        # independently (each starts a fresh coding state per TIFF 6.0).
+        from img2table_spark.kernels.ccitt import CCITTError, decode_ccitt_tiff
+
+        if not bit1:
+            raise TIFFError("CCITT TIFF must be bilevel (1 bit, 1 sample)")
+        if tiled:
+            raise TIFFError("tiled CCITT TIFF unsupported")
+        t4_opts = one(292, 0)
+        t6_opts = one(293, 0)
+        fill_order = one(266, 1)
+        blocks = []
+        remaining = h
+        for so, sc in zip(offsets, counts):
+            nrows = min(rows_per_strip, remaining)
+            if nrows <= 0:
+                break
+            try:
+                blocks.append(
+                    decode_ccitt_tiff(
+                        data[so : so + sc], w, nrows, comp,
+                        t4_options=t4_opts, t6_options=t6_opts,
+                        fill_order=fill_order,
+                    )
+                )
+            except CCITTError as exc:
+                raise TIFFError(f"CCITT strip decode failed: {exc}") from exc
+            remaining -= nrows
+        if remaining > 0:
+            raise TIFFError("truncated CCITT strip data")
+        black = np.concatenate(blocks, axis=0)
+        # fax photometric: 0 (WhiteIsZero) is the colour-true layout; 1
+        # inverts the stored sense, so white runs carry the ink
+        if photo == 1:
+            black = 1 - black
+        g = np.where(black == 1, 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
 
     decomp = {
         1: lambda b: b,

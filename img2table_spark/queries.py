@@ -1256,9 +1256,11 @@ def _q14_corpus_rows() -> tuple:
         # LZW-predictor TIFF, progressive JPEG (SOF2), and lossless WebP
         # (VP8L) — certifies those decoders in the driver's hard gate
         from img2table_spark.kernels.encoders import (
+            build_ccitt_scanned_pdf,
             encode_bmp24,
             encode_jpeg_progressive,
             encode_tiff,
+            encode_tiff_ccitt,
             encode_tiff_jpeg,
             encode_tiff_jpeg_oldstyle,
             encode_tiff_tiled,
@@ -1282,6 +1284,11 @@ def _q14_corpus_rows() -> tuple:
                 (encode_exr(test_img, compression=3), "image/x-exr"),
                 (encode_tiff_tiled_bilevel(test_img, 64, 64, compression=5), "image/tiff"),
                 (encode_tiff_jpeg_oldstyle(test_img), "image/tiff"),
+                # CCITT fax — the dominant real scanned-document compression
+                # (VERDICT r3 top-next #1): T.6 G4 MMR and T.4 G3 2-D strips
+                (encode_tiff_ccitt(test_img, compression=4), "image/tiff"),
+                (encode_tiff_ccitt(test_img, compression=3, two_d=True,
+                                   rows_per_strip=64), "image/tiff"),
             ],
             start=12,
         ):
@@ -1289,6 +1296,20 @@ def _q14_corpus_rows() -> tuple:
                 (f"codecconv{i % 2}", i, "assistant",
                  base64.b64encode(payload).decode(), tool, ts)
             )
+        # CCITTFaxDecode scanned PDF (G4 image XObject, the classic fax-PDF
+        # payload): extracts the same two tables as the DCT/Flate scanned
+        # fixtures (pinned by tests/test_kernels_ccitt.py)
+        rows.append(
+            (
+                "faxconv0", 26, "assistant",
+                _json.dumps(
+                    {"pdf": base64.b64encode(
+                        build_ccitt_scanned_pdf(test_img, k=-1)).decode(),
+                     "implicit_rows": True}
+                ),
+                "application/pdf", ts,
+            )
+        )
     return tuple(rows)
 
 
