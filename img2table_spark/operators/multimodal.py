@@ -1,15 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata.
 
-Training-data pipelines carry image/audio/video as ``binary`` columns. The
-decode/feature steps for audio/video need codec libraries that are not in
-this environment, so those kernels are STUBBED behind a deterministic fake
-(`fake_features=True`, default in tests) or `NotImplementedError` — but the
-Spark-side plumbing is real and tested: schema, partitioning, Arrow batch
-shape, and the UDF signatures are exactly what a codec-backed kernel would
-drop into. Images decode for real through the full codec matrix
-(kernels/image_doc.decode_image_bytes: PNG/JPEG/BMP/TIFF/WebP/PNM/HDR/EXR),
-and perceptual near-dup detection (dHash + banded Hamming LSH) runs
-entirely on that path — the image twin of the SimHash text operator.
+Training-data pipelines carry image/audio/video as ``binary`` columns.
+Images decode for real through the full codec matrix
+(kernels/image_doc.decode_image_bytes: PNG/JPEG/BMP/TIFF incl. CCITT/WebP/
+PNM/HDR/EXR), and RIFF/WAVE audio decodes for real too (kernels/wav.py:
+PCM 8/16/24/32 + IEEE float → duration/rate plus an 11-float RMS/ZCR/
+spectral-band feature vector). Only non-WAV audio (mp3/ogg/aac) and video
+need codec libraries this environment lacks; those stay STUBBED behind a
+deterministic fake (`fake_features=True`, default in tests) or
+`NotImplementedError` — the Spark-side plumbing (schema, partitioning,
+Arrow batch shape, UDF signatures) is real and tested either way.
+Perceptual near-dup detection (dHash + banded Hamming LSH) runs entirely
+on the real image path — the image twin of the SimHash text operator.
 """
 
 from __future__ import annotations
@@ -50,13 +52,17 @@ _MAGIC_MIME = [
     (b"BM", "image/bmp"),
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
-    (b"RIFF", "image/webp"),
     (b"#?", "image/vnd.radiance"),
     (b"\x76\x2f\x31\x01", "image/x-exr"),
 ]
 
 
 def _sniff_mime(payload: bytes) -> str:
+    # RIFF containers disambiguate on the form type at bytes 8:12
+    if payload[:4] == b"RIFF":
+        if payload[8:12] == b"WAVE":
+            return "audio/wav"
+        return "image/webp"
     for magic, mime in _MAGIC_MIME:
         if payload[: len(magic)] == magic:
             return mime
@@ -86,10 +92,20 @@ def _decode_one(payload: bytes, kind: str, fake_features: bool) -> dict:
         ]
         out["features"] = feats
         return out
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # REAL decode: PCM/float WAV needs no codec library (kernels/wav.py)
+        from img2table_spark.kernels.wav import decode_wav, wav_features
+
+        rate, _ch, samples = decode_wav(payload)
+        out["mime"] = "audio/wav"
+        out["duration_ms"] = int(round(len(samples) * 1000 / rate))
+        out["features"] = wav_features(rate, samples)
+        return out
     if kind in ("audio", "video"):
-        # STUB: codec libraries unavailable — deterministic fake keeps the
-        # batch shape and downstream schema real for tests; a real kernel
-        # (ffmpeg/soundfile) slots in here unchanged.
+        # STUB: non-WAV audio and all video need codec libraries this
+        # container lacks — deterministic fake keeps the batch shape and
+        # downstream schema real for tests; a real kernel (ffmpeg/soundfile)
+        # slots in here unchanged.
         if not fake_features:
             raise NotImplementedError(f"{kind} decode requires codec libraries")
         h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")

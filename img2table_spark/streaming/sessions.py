@@ -103,15 +103,21 @@ def stream_image_dedup(
     watermark: str = "10 minutes",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Streaming perceptual image dedup: dHash each arriving image payload
-    (Arrow-batched mapInPandas, any supported codec) and keep the first
-    arrival per hash within the watermark horizon. Hash EQUALITY collapses
-    lossless re-encodes (PNG↔BMP↔TIFF↔EXR hash identically — pinned in
-    tests; HDR is ±1 from the shared RGBE exponent, so a natural-image HDR
-    re-encode can flip gradient-sign bits near ties and is only *typically*
+    """Streaming perceptual MEDIA dedup: fingerprint each arriving payload
+    (Arrow-batched mapInPandas) and keep the first arrival per fingerprint
+    within the watermark horizon. Images → dHash (any supported codec);
+    RIFF/WAVE audio → 12-bit-quantized content hash
+    (kernels/wav.audio_fingerprint), so audio rows flow through the same
+    dedup stream (r3 verdict #5). Hash EQUALITY collapses lossless image
+    re-encodes (PNG↔BMP↔TIFF↔EXR hash identically — pinned in tests; HDR
+    is ±1 from the shared RGBE exponent, so a natural-image HDR re-encode
+    can flip gradient-sign bits near ties and is only *typically*
     identical — rare flips fall back to the batch banded near-dup path,
-    operators.multimodal.dhash_neardup_pairs). Decode failures pass
-    through with a null hash rather than killing the stream."""
+    operators.multimodal.dhash_neardup_pairs) and non-re-quantizing WAV
+    re-encodes (container rewrites + depth widening, e.g. 16-bit → 24/32
+    PCM or float; depth NARROWING is lossy and falls back to the feature
+    near-dup path). Decode failures pass through with a null hash rather
+    than killing the stream."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -123,13 +129,18 @@ def stream_image_dedup(
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from img2table_spark.kernels.image_doc import decode_image_bytes
         from img2table_spark.kernels.phash import dhash64
+        from img2table_spark.kernels.wav import audio_fingerprint
 
         for pdf in batches:
             hashes = []
             for payload in pdf["payload"]:
                 try:
-                    v = dhash64(decode_image_bytes(bytes(payload)))
-                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                    b = bytes(payload)
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        hashes.append(audio_fingerprint(b))
+                    else:
+                        v = dhash64(decode_image_bytes(b))
+                        hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
                 except Exception:
                     hashes.append(None)
             out = pdf[["media_id", "ts"]].copy()

@@ -100,3 +100,41 @@ def test_stream_image_dedup(spark, tmp_path):
     assert 2 in ids
     assert len(ids & {0, 1}) == 1  # the re-encoded twin collapsed
     assert 3 not in ids
+
+
+def test_stream_media_dedup_accepts_audio_rows(spark, tmp_path):
+    """WAV payloads flow through the same dedup stream as images (r3
+    verdict #5): non-re-quantizing re-encodes collapse, distinct audio
+    survives, and audio/image fingerprints coexist in one stream."""
+    import numpy as np
+
+    from img2table_spark.kernels.encoders import encode_png
+    from img2table_spark.kernels.wav import decode_wav, encode_wav
+    from img2table_spark.streaming.sessions import stream_image_dedup
+
+    base = dt.datetime(2026, 1, 1)
+    t = np.arange(4000) / 8000.0
+    tone_a = 0.5 * np.sin(2 * np.pi * 440.0 * t)[:, None]
+    tone_b = 0.25 * np.sin(2 * np.pi * 2200.0 * t)[:, None]
+    src = encode_wav(tone_a, 8000, bits=16)
+    widened = encode_wav(decode_wav(src)[2], 8000, float_fmt=True)  # lossless re-encode
+    img = np.repeat(
+        np.repeat(np.random.RandomState(5).randint(0, 256, (8, 8, 3)), 8, 0), 8, 1
+    ).astype(np.uint8)
+
+    rows = [
+        (0, base, bytearray(src)),
+        (1, base + dt.timedelta(minutes=1), bytearray(widened)),  # dup of 0
+        (2, base + dt.timedelta(minutes=2), bytearray(encode_wav(tone_b, 8000, bits=16))),
+        (3, base + dt.timedelta(minutes=3), bytearray(encode_png(img))),
+        (4, base + dt.timedelta(minutes=4), bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ts timestamp, payload binary")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("ain", "aout", "ackpt"))
+    df.write.parquet(inp)
+    q = stream_image_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    ids = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert len(ids & {0, 1}) == 1  # widened re-encode collapsed
+    assert {2, 3} <= ids           # distinct audio + the image both survive
+    assert 4 not in ids            # corrupt WAV -> null hash, filtered
