@@ -344,14 +344,22 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
 
 
 def _shingles(
-    spark: SparkSession, sf_dir: str, *, cluster_by_s: bool = False
+    spark: SparkSession, sf_dir: str, *, cluster_by_s: bool = False, width: int = 3
 ) -> DataFrame:
+    """Distinct (doc_id, n-gram) shingle table; ``width`` tokens per
+    shingle (space-joined). The size filter keeps the ANSI sequence()
+    guard: sequence(0, negative) counts DOWN."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= width
+    )
     exploded = toks.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")
+            F.expr(
+                f"transform(sequence(0, size(t) - {width}),"
+                f" i -> array_join(slice(t, i + 1, {width}), ' '))"
+            )
         ).alias("s"),
     )
     if cluster_by_s:
@@ -1881,17 +1889,27 @@ FROM dec
 
 # --------------------------------------------------------------------------
 # q26 — benchmark decontamination (training-data op): flag corpus documents
-# sharing any 3-gram shingle with a held-out "benchmark" slice (doc_id
+# sharing any n-gram shingle with a held-out "benchmark" slice (doc_id
 # divisible by _DECON_MOD stands in for the eval set). The benchmark shingle
 # set is tiny by construction → broadcast hash join, so the 100-TB corpus
 # side never shuffles for the probe; the only exchange is the per-doc agg.
+#
+# ``width`` is the decontamination policy knob: production pipelines use
+# 13-gram sliding windows (the GPT-3/PaLM-style convention — long enough
+# that chance collisions vanish); the registered gate entry uses width 3
+# because the synthetic gate corpus has documents shorter than most
+# 13-grams (0 flagged rows at sf0.01 would make the hard gate vacuous).
+# Both widths are oracle-checked in tests/test_query_edge_cases.py.
 # --------------------------------------------------------------------------
 
 _DECON_MOD = 97
+_DECON_PROD_WIDTH = 13
 
 
-def q26_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)  # distinct (doc_id, 3-gram)
+def q26_decontam(
+    spark: SparkSession, sf_dir: str, width: int = 3
+) -> DataFrame:
+    sh = _shingles(spark, sf_dir, width=width)  # distinct (doc_id, n-gram)
     bench = (
         sh.filter(F.col("doc_id") % _DECON_MOD == 0)
         .select("s")
@@ -1920,13 +1938,16 @@ def q26_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q26_SQL = f"""
+def decontam_sql(width: int = 3) -> str:
+    """DuckDB oracle for q26 at any shingle width (same per-width token
+    filter and space-joined n-grams as the Spark side)."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= {width}
 ),
 sh AS (
-  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
-  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + {width}], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - {width})) AS i) g
 ),
 bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1939,6 +1960,9 @@ hits AS (
 SELECT h.doc_id, h.n_hit, z.n_sh, (100 * h.n_hit) // z.n_sh AS hit_pct
 FROM hits h JOIN sizes z USING (doc_id)
 """
+
+
+Q26_SQL = decontam_sql(3)
 
 
 # --------------------------------------------------------------------------

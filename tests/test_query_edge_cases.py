@@ -30,3 +30,31 @@ def test_q27_survives_one_token_doc(spark, tmp_path):
     assert list(out.index) == ["pair", "rep"]
     assert out.loc["rep", "top_w"] == "a"
     assert out.loc["rep", "dup_bi_pct"] == 66  # 3 bigrams, 1 distinct
+
+
+def test_q26_decontam_green_at_both_widths(spark):
+    """The decontamination width is a policy knob (r3 verdict #6):
+    production-style 13-gram and the gate's 3-gram must BOTH match their
+    DuckDB oracle. sf0.001 has real hits at both widths (13-gram flags the
+    planted near-verbatim dups only — 3-gram also flags incidental
+    phrase overlap), so this is a non-vacuous check."""
+    import duckdb
+
+    from img2table_spark.queries import decontam_sql, q26_decontam
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for width in (3, 13):
+        got = sorted(
+            tuple(r) for r in q26_decontam(spark, sf, width=width).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(decontam_sql(width)).fetchall())
+        assert got == want, f"width {width} mismatch"
+        assert got, f"width {width} produced no rows — vacuous fixture"
+    # and the wider policy is strictly more conservative on this corpus
+    assert len({r[0] for r in con.execute(decontam_sql(13)).fetchall()}) < len(
+        {r[0] for r in con.execute(decontam_sql(3)).fetchall()}
+    )
