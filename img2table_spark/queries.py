@@ -2387,6 +2387,325 @@ FROM t GROUP BY host
 """
 
 
+# --------------------------------------------------------------------------
+# q34 — chunk-level exact dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): split each document into non-overlapping
+# 10-token chunks, md5 them, and report per-document how many of its chunks
+# also appear in ANOTHER document — the repeated-substring removal signal at
+# paragraph granularity. Scale shape: explode → ONE shuffle on chunk hash
+# for the distinct-doc count, join back on the same key (1:1 fan-out — the
+# count table has exactly one row per hash, so even a boilerplate chunk
+# shared by 10^9 docs adds no row explosion), then the per-doc agg.
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 10
+
+
+def q34_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _CHUNK_W
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) div {_CHUNK_W} - 1),"
+                f" i -> md5(array_join(slice(t, i * {_CHUNK_W} + 1, {_CHUNK_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    nd = chunks.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        chunks.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup",
+            F.expr("(100 * n_dup) div n_chunks").alias("dup_pct"),
+        )
+    )
+
+
+Q34_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= {_CHUNK_W}
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i * {_CHUNK_W} + 1 : i * {_CHUNK_W} + {_CHUNK_W}], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) // {_CHUNK_W} - 1)) AS i) g
+),
+nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST((100 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dup_pct
+FROM chunks c JOIN nd USING (h)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — unigram-LM quality score (the CCNet-style perplexity-filter shape,
+# integer-exact): corpus unigram counts → per-token probability in ppm
+# ((10⁶·cnt) div total — log-free so both engines agree bit-for-bit; the
+# ORDERING of docs by score is what the filter consumes), doc score = mean
+# token ppm. Rare-token-heavy (≈ high-perplexity) docs score low. The
+# vocabulary is an agg output (Zipf-bounded, ≪ corpus) broadcast back to
+# the token stream — hot tokens are agg keys and a broadcast side, never a
+# shuffled join key. At 10¹²-token scale the 10⁶·cnt product moves to
+# decimal(38,0) (the repo-standard ANSI overflow rule); long is exact here.
+# --------------------------------------------------------------------------
+
+
+def q35_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.count()  # driver-side scalar, one number
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("ppm", F.expr(f"(1000000 * cnt) div {total}"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("ppm").alias("sum_ppm"))
+        .select(
+            "doc_id", "n_tok", F.expr("sum_ppm div n_tok").alias("lm_ppm")
+        )
+    )
+
+
+Q35_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM toks) AS ppm
+  FROM toks GROUP BY tok
+)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS lm_ppm
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — sequential FUNNEL over the event stream: per user, first view →
+# first click strictly after it → first purchase strictly after that (the
+# canonical product-analytics ordered-stage operator). Three stage aggs
+# chained by equi-joins, ALL keyed on user_id — one partitioning serves the
+# whole chain (no windows over the full event set, no per-user sorts of
+# unbounded history). Missing stages surface as -1 (engine-portable hash).
+# --------------------------------------------------------------------------
+
+
+def q36_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_EV_US_SPARK).alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            F.coalesce("t_click", F.lit(-1)).alias("t_click"),
+            F.coalesce("t_purchase", F.lit(-1)).alias("t_purchase"),
+        )
+    )
+
+
+Q36_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, {_EV_US_SQL} AS us FROM events
+),
+v AS (SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(us) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND us > t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(us) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND us > t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, t_view,
+       COALESCE(t_click, -1) AS t_click,
+       COALESCE(t_purchase, -1) AS t_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — retention cohorts: cohort = a user's first active day, activity =
+# distinct (user, day); report active-user counts per (cohort_day,
+# day_offset) — the standard growth-analytics rollup. Two aggs + one join,
+# all keyed on user_id / the tiny (cohort, offset) grid; day arithmetic is
+# integer microseconds div 86400·10⁶ (no timezone/session dependence on
+# the TIMESTAMP_NTZ column).
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def q37_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"({_EV_US_SPARK}) div {_DAY_US}").alias("day"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+Q37_SQL = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, {_EV_US_SQL} // {_DAY_US} AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset, COUNT(DISTINCT act.user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort_day, day - cohort_day
+"""
+
+
+# --------------------------------------------------------------------------
+# q38 — semi-structured JSON property rollup: parse the event `props` JSON
+# column (get_json_object / json_extract_string — a REAL json parse on both
+# engines, not a regex), bucket the numeric property into deciles, and roll
+# up counts + value cents per (event_type, decile). Money stays integer:
+# cents = floor(value·100 + 0.5) — both engines compute the same IEEE
+# double so the floor agrees even at representation edges. Pure
+# map + one agg: 0 joins, scale-trivial.
+# --------------------------------------------------------------------------
+
+
+def q38_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("cast(get_json_object(props, '$.k') AS bigint) div 10").alias("k_decile"),
+            F.expr("cast(floor(value * 100D + 0.5D) AS bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+Q38_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type, k_decile
+"""
+
+
+# --------------------------------------------------------------------------
+# q39 — per-label embedding OUTLIERS: integer centroid per label (the IVF
+# fixed-point arithmetic: exact int64 sums, floor(sum/count) — both engines
+# compute the identical double division), exact integer squared distance of
+# every vector to its own label's centroid, top-2 farthest per label — the
+# embedding-space mislabel/contamination probe a curation pipeline runs per
+# class. Shape: posexplode → (label, pos) centroid agg → join back on
+# (label, pos) → (label, vec_id) agg → one bounded window per label. No
+# broadcast needed and no all-pairs anywhere.
+# --------------------------------------------------------------------------
+
+_OUTLIER_K = 2
+
+
+def q39_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), F.expr(_QUANT_EXPR).alias("qv")
+    )
+    ex = emb.select("vec_id", "label", F.posexplode("qv").alias("pos", "q"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.expr("cast(floor(cast(sum(q) AS double) / count(*)) AS bigint)").alias("c")
+    )
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist2"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
+    )
+    return (
+        dist.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= _OUTLIER_K)
+        .select("label", "vec_id", "dist2", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+Q39_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, g.i AS pos, qv[g.i] AS q
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g
+),
+cent AS (
+  SELECT label, pos, CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, pos
+),
+dist AS (
+  SELECT ex.label, vec_id, CAST(SUM((q - c) * (q - c)) AS BIGINT) AS dist2
+  FROM ex JOIN cent ON cent.label = ex.label AND cent.pos = ex.pos
+  GROUP BY ex.label, vec_id
+)
+SELECT label, vec_id, dist2, rnk FROM (
+  SELECT label, vec_id, dist2,
+         row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS rnk
+  FROM dist
+) q WHERE rnk <= {_OUTLIER_K}
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -2421,6 +2740,12 @@ QUERIES = {
     "q31_tfidf_topk": q31_tfidf_topk,
     "q32_dedup_keep_best": q32_dedup_keep_best,
     "q33_domain_stats": q33_domain_stats,
+    "q34_chunk_dedup": q34_chunk_dedup,
+    "q35_lm_score": q35_lm_score,
+    "q36_funnel": q36_funnel,
+    "q37_retention": q37_retention,
+    "q38_json_rollup": q38_json_rollup,
+    "q39_label_outliers": q39_label_outliers,
 }
 
 ORACLES = {
@@ -2457,4 +2782,10 @@ ORACLES = {
     "q31_tfidf_topk": Q31_SQL,
     "q32_dedup_keep_best": Q32_SQL,
     "q33_domain_stats": Q33_SQL,
+    "q34_chunk_dedup": Q34_SQL,
+    "q35_lm_score": Q35_SQL,
+    "q36_funnel": Q36_SQL,
+    "q37_retention": Q37_SQL,
+    "q38_json_rollup": Q38_SQL,
+    "q39_label_outliers": Q39_SQL,
 }
