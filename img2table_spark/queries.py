@@ -2706,6 +2706,137 @@ SELECT label, vec_id, dist2, rnk FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q40 — context-window CHUNKING with overlap (the RAG/embedding-ingest op):
+# each document becomes sliding windows of _CW_W tokens at stride _CW_S,
+# with the chunk text and token span emitted per window. Pure per-row
+# transform + explode: no joins, no shuffle beyond the final exchange —
+# embarrassingly parallel at any corpus size. Window-count algebra is
+# integer (ceil via div) so both engines enumerate identical spans.
+# --------------------------------------------------------------------------
+
+_CW_W = 32  # window tokens
+_CW_S = 24  # stride (8-token overlap)
+
+
+def q40_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # i_max = ceil(max(n - W, 0) / S); sequence guarded per the ANSI rule
+    return toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.explode(
+            F.expr(f"sequence(0, (greatest(size(t) - {_CW_W}, 0) + {_CW_S} - 1) div {_CW_S})")
+        ).alias("win_idx"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        (F.col("win_idx") * _CW_S).cast("long").alias("start_tok"),
+        F.least(F.lit(_CW_W), F.col("n_tok") - F.col("win_idx") * _CW_S)
+        .cast("long")
+        .alias("win_tokens"),
+        F.expr(f"array_join(slice(t, win_idx * {_CW_S} + 1, {_CW_W}), ' ')").alias("chunk"),
+    )
+
+
+Q40_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t, len(str_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS win_idx,
+       CAST(i * {_CW_S} AS BIGINT) AS start_tok,
+       CAST(LEAST({_CW_W}, n_tok - i * {_CW_S}) AS BIGINT) AS win_tokens,
+       array_to_string(t[i * {_CW_S} + 1 : i * {_CW_S} + {_CW_W}], ' ') AS chunk
+FROM toks, LATERAL (
+  SELECT unnest(generate_series(0, (GREATEST(n_tok - {_CW_W}, 0) + {_CW_S} - 1) // {_CW_S})) AS i
+) g
+"""
+
+
+# --------------------------------------------------------------------------
+# q41 — SEQUENCE PACKING (training-batch construction): pack documents into
+# token-budget bins by next-fit in doc_id order — the operator that turns a
+# curated corpus into fixed-context training batches. Next-fit is a
+# sequential recurrence, so it cannot be a window function; the distributed
+# form packs WITHIN bounded groups (doc_id div _PACK_GROUP) via
+# applyInPandas — deterministic (group + order are data-defined, no
+# partitioning dependence), one shuffle on the group key, per-task work
+# bounded by the group size. Global bin id = group · 10⁶ + local bin. The
+# DuckDB oracle replays the recurrence with a recursive CTE — the one query
+# family whose oracle is an explicit sequential replay.
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 512  # bin token budget
+_PACK_GROUP = 100  # docs per packing group
+
+
+def q41_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F811 — local for the closure
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_GROUP}").alias("grp"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        bins, fill = [], 0
+        b = 0
+        first = True
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if not first and fill + n > _PACK_CAP:
+                b += 1
+                fill = 0
+            fill += n
+            first = False
+            bins.append(b)
+        out = pdf[["doc_id", "grp", "n_tok"]].copy()
+        out["bin_id"] = [int(pdf["grp"].iloc[0]) * 1_000_000 + x for x in bins]
+        return out
+
+    packed = docs.groupBy("grp").applyInPandas(
+        pack, "doc_id long, grp long, n_tok long, bin_id long"
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+Q41_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id // {_PACK_GROUP} AS grp,
+         len(str_split(text, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id // {_PACK_GROUP} ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(grp, rn, doc_id, n_tok, bin, fill) AS (
+  SELECT grp, rn, doc_id, n_tok, 0, n_tok FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_tok,
+         CASE WHEN p.fill + d.n_tok > {_PACK_CAP} THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + d.n_tok > {_PACK_CAP} THEN d.n_tok ELSE p.fill + d.n_tok END
+  FROM d JOIN pack p ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp * 1000000 + bin AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc
+FROM pack
+GROUP BY grp * 1000000 + bin
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -2746,6 +2877,8 @@ QUERIES = {
     "q37_retention": q37_retention,
     "q38_json_rollup": q38_json_rollup,
     "q39_label_outliers": q39_label_outliers,
+    "q40_context_chunks": q40_context_chunks,
+    "q41_sequence_packing": q41_sequence_packing,
 }
 
 ORACLES = {
@@ -2788,4 +2921,6 @@ ORACLES = {
     "q37_retention": Q37_SQL,
     "q38_json_rollup": Q38_SQL,
     "q39_label_outliers": Q39_SQL,
+    "q40_context_chunks": Q40_SQL,
+    "q41_sequence_packing": Q41_SQL,
 }
