@@ -748,6 +748,10 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
 
 
 _IVF_SPLIT_MEMO: dict = {}
+# (applicationId, sf_dir) → persisted assigned-DataFrame (the materialized
+# IVF index); keyed by session so a stopped SparkSession never leaks a dead
+# cached plan into a new one.
+_IVF_ASSIGN_MEMO: dict = {}
 
 
 def _sub_bucket_udf(bcb):
@@ -868,8 +872,20 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query; a broadcast closure keeps the plan O(1) regardless of k.
     Exactness: int64 squared distances, argmin ties → lowest cid (np.argmin
     returns the first minimum) — bit-identical to the trainer and to the
-    DuckDB CTE replay in the q15/q18 oracles."""
+    DuckDB CTE replay in the q15/q18 oracles.
+
+    The finished (vec_id, v, vn, bucket) table is persisted and memoized
+    per (session, sf_dir) — the materialized-index shape of IVF. Every
+    consumer (q15 probe join, q18's SELF-join, q45 SemDeDup) would
+    otherwise re-run the scan + assignment UDF chain per plan arm; q18
+    alone pays it twice. At cluster scale this table is written once per
+    index build (it IS the index) and read many times."""
     import numpy as np
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_ASSIGN_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     cents = train_ivf_centroids(spark, sf_dir)
     bc = spark.sparkContext.broadcast(np.array(cents, dtype=np.int64))
@@ -883,7 +899,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _quantized_emb(spark, sf_dir).withColumn(
         "bucket", nearest_cid(F.col("qv"))
     )
-    return (
+    out = (
         _ivf_split_oversized(spark, sf_dir, assigned)
         # pre-normalized vectors: downstream pairwise cosine becomes a plain
         # dot product — O(d) per pair instead of O(3d) (norms otherwise get
@@ -893,7 +909,10 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(v, x -> x / sqrt(aggregate(v, 0D, (acc, y) -> acc + y * y)))"),
         )
         .select("vec_id", "v", "vn", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _IVF_ASSIGN_MEMO[memo_key] = out
+    return out
 
 
 def _ivf_sql_ctes() -> str:
