@@ -2856,6 +2856,313 @@ GROUP BY grp * 1000000 + bin
 """
 
 
+# --------------------------------------------------------------------------
+# q42 — SemDeDup (semantic dedup over embeddings, Abbas et al. 2023): within
+# each IVF cluster, a vector is a semantic duplicate when some LOWER-id
+# vector in the same cluster has cosine ≥ τ; keeper = the lowest id. The
+# paper ranks by similarity-to-centroid; we rank by vec_id because a float
+# centroid ranking is tie-fragile across engines while the id order is
+# exact — same keep-one-per-near-dup-group semantics. Reuses the PERSISTED
+# IVF index (`_ivf_assigned`), so the marginal cost past the index build is
+# one within-bucket pair join + one aggregation: shuffle on bucket only,
+# per-bucket work bounded by the two-level split (never a cross-table
+# cartesian) — survives 100 TB as written.
+# --------------------------------------------------------------------------
+
+_SEM_TAU = 0.30
+
+
+def q42_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "vn", "bucket")
+    j = assigned.alias("a").join(
+        assigned.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.expr("aggregate(zip_with(a.vn, b.vn, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    dups = (
+        j.filter(cos >= _SEM_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_dups_earlier"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce("n_dups_earlier", F.lit(0)).cast("long").alias("n_dups_earlier"),
+            F.when(F.col("n_dups_earlier").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+Q42_SQL = f"""
+WITH {_IVF_CTES},
+dups AS (
+  SELECT b.vec_id, COUNT(*) AS nde
+  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_TAU}
+  GROUP BY b.vec_id)
+SELECT a.vec_id,
+       CAST(a.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(d.nde, 0) AS BIGINT) AS n_dups_earlier,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic transcript synthesis — the north-rule input shape
+# (conv_id:string, turn_idx:int, role, text, tool) built from `documents`
+# with integer-only arithmetic so Spark and DuckDB enumerate the SAME
+# table. 8 turns/conv in the agent-loop pattern user → assistant(tool
+# call) → tool(result) → assistant(answer), tool name varying per call.
+# q43–q45 operate on this table; the pixel/extraction flagship uses the
+# richer payload-bearing generator in sources/transcripts.py (not
+# SQL-expressible, hence this twin for the relational operators).
+# --------------------------------------------------------------------------
+
+_TR_TURNS = 8
+_TR_TOOL = (
+    "CASE WHEN (doc_id % 8) % 4 IN (1, 2) THEN "
+    "CASE (doc_id div 4) % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'code' "
+    "ELSE 'browse' END END"
+)
+_TR_ROLE = (
+    "CASE (doc_id % 8) % 4 WHEN 0 THEN 'user' WHEN 2 THEN 'tool' "
+    "ELSE 'assistant' END"
+)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.expr(f"'c' || CAST(doc_id div {_TR_TURNS} AS STRING)").alias("conv_id"),
+        F.expr(f"CAST(doc_id % {_TR_TURNS} AS INT)").alias("turn_idx"),
+        F.expr(_TR_ROLE).alias("role"),
+        "text",
+        F.expr(_TR_TOOL).alias("tool"),
+        "lang",
+        "n_chars",
+    )
+
+
+_TR_SQL = f"""tr AS (
+  SELECT 'c' || CAST(doc_id // {_TR_TURNS} AS VARCHAR) AS conv_id,
+         CAST(doc_id % {_TR_TURNS} AS INTEGER) AS turn_idx,
+         CASE (doc_id % 8) % 4 WHEN 0 THEN 'user' WHEN 2 THEN 'tool'
+              ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN (doc_id % 8) % 4 IN (1, 2) THEN
+           CASE (doc_id // 4) % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'code'
+                ELSE 'browse' END END AS tool,
+         lang,
+         n_chars
+  FROM documents)"""
+
+
+# --------------------------------------------------------------------------
+# q43 — conversation rollup: per-conversation turn/role/tool statistics —
+# the first aggregation any transcript corpus audit runs. One shuffle on
+# conv_id; conv cardinality ~ corpus/8, no hot keys (conv sizes bounded by
+# construction) — scale-safe.
+# --------------------------------------------------------------------------
+
+
+def q43_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir)
+    return tr.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("long").alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).cast("long").alias("n_tool_turns"),
+        # size(collect_set) not count_distinct: distinct-agg would add an
+        # expand + extra exchange; the set is bounded by the 3-tool vocab
+        F.size(F.collect_set("tool")).cast("long").alias("n_distinct_tools"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
+    )
+
+
+Q43_SQL = f"""
+WITH {_TR_SQL}
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+FROM tr
+GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q44 — SFT pair assembly: each final-answer assistant turn becomes a
+# (prompt, response) training sample whose prompt is the preceding ≤3 turns
+# rendered "role: text". ONE window over (conv_id, turn_idx) — the frame is
+# bounded (3 rows) so state per key is O(ctx), never whole-conversation;
+# shuffle on conv_id only. The canonical transcripts→SFT-dataset operator.
+# --------------------------------------------------------------------------
+
+_SFT_CTX = 3
+
+
+def q44_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir).withColumn(
+        "line", F.expr("role || ': ' || text")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-_SFT_CTX, -1)
+    )
+    return (
+        tr.withColumn("ctx", F.collect_list("line").over(w))
+        .filter((F.col("role") == "assistant") & (F.col("turn_idx") % 4 == 3))
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.size("ctx").cast("long").alias("n_ctx_turns"),
+            F.array_join("ctx", "\n").alias("prompt"),
+            F.col("text").alias("response"),
+        )
+    )
+
+
+Q44_SQL = f"""
+WITH {_TR_SQL},
+lines AS (
+  SELECT conv_id, turn_idx, role, text,
+         list(role || ': ' || text)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN {_SFT_CTX} PRECEDING AND 1 PRECEDING) AS ctx
+  FROM tr)
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(len(ctx) AS BIGINT) AS n_ctx_turns,
+       array_to_string(ctx, chr(10)) AS prompt,
+       text AS response
+FROM lines
+WHERE role = 'assistant' AND turn_idx % 4 = 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q45 — tool-transition matrix: across conversations, how often does tool A
+# precede tool B in the same conversation's tool-CALL sequence (plus START
+# pseudo-state for a conversation's first call) — the agent-trajectory
+# Markov statistics. One lag window on conv_id over the (small) tool-call
+# subset, then a global (from, to) count agg — scale-safe.
+# --------------------------------------------------------------------------
+
+
+def q45_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    calls = _transcripts(spark, sf_dir).filter(
+        (F.col("tool").isNotNull()) & (F.col("turn_idx") % 4 == 1)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        calls.withColumn("from_tool", F.coalesce(F.lag("tool").over(w), F.lit("START")))
+        .groupBy(F.col("from_tool"), F.col("tool").alias("to_tool"))
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.count_distinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
+Q45_SQL = f"""
+WITH {_TR_SQL},
+calls AS (
+  SELECT conv_id, turn_idx, tool,
+         COALESCE(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  'START') AS from_tool
+  FROM tr WHERE tool IS NOT NULL AND turn_idx % 4 = 1)
+SELECT from_tool, tool AS to_tool,
+       COUNT(*) AS n_transitions,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM calls
+GROUP BY from_tool, tool
+"""
+
+
+# --------------------------------------------------------------------------
+# q46 — temperature-mixed sampling: flatten the language distribution with
+# α = 0.5 (UNIMAX/mT5-style temperature mixing) — per-language keep rate
+# p_l ∝ S·√cnt_l / (Σ√cnt · cnt_l), realized as a deterministic md5 gate.
+# All arithmetic is INTEGER (isqrt is exact in IEEE doubles for n ≪ 2^52;
+# one trailing integer div) so both engines compute identical ppm rates —
+# no float-boundary flakes. Plan: one tiny counts agg broadcast back onto
+# the scan + a per-row hash gate — a single small-side join at any scale.
+# At 10^12 rows the ppm products need decimal(38) headroom — noted inline.
+# --------------------------------------------------------------------------
+
+_MIX_DIV = 3  # target sample = total div 3
+
+
+def q46_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    # isqrt via double sqrt is exact for BIGINT counts (see header note)
+    counts = counts.withColumn(
+        "isq", F.expr("CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE))) AS BIGINT)")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.sum("isq").alias("sumisq")
+    )
+    # ppm products: 1e6 · (total/3) · isq — decimal(38,0) at 10^12-row scale;
+    # BIGINT suffices at gate scale and keeps the div exact in both engines.
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.expr(
+            f"least(CAST(1000000 AS BIGINT), "
+            f"(1000000 * (total div {_MIX_DIV}) * isq) div (sumisq * cnt))"
+        ).alias("p_ppm"),
+    )
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("keep", (gate < F.col("p_ppm")).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.max("cnt").cast("long").alias("n_total"),
+            F.max("p_ppm").cast("long").alias("p_ppm"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+    )
+
+
+Q46_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS isq
+  FROM documents GROUP BY lang),
+tot AS (SELECT SUM(cnt) AS total, SUM(isq) AS sumisq FROM counts),
+rates AS (
+  SELECT lang, cnt,
+         LEAST(CAST(1000000 AS BIGINT),
+               (1000000 * (total // {_MIX_DIV}) * isq) // (sumisq * cnt)) AS p_ppm
+  FROM counts, tot)
+SELECT d.lang,
+       CAST(MAX(r.cnt) AS BIGINT) AS n_total,
+       CAST(MAX(r.p_ppm) AS BIGINT) AS p_ppm,
+       CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 1000000 < r.p_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON r.lang = d.lang
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -2898,6 +3205,11 @@ QUERIES = {
     "q39_label_outliers": q39_label_outliers,
     "q40_context_chunks": q40_context_chunks,
     "q41_sequence_packing": q41_sequence_packing,
+    "q42_semdedup": q42_semdedup,
+    "q43_conv_rollup": q43_conv_rollup,
+    "q44_sft_pairs": q44_sft_pairs,
+    "q45_tool_transitions": q45_tool_transitions,
+    "q46_temperature_mix": q46_temperature_mix,
 }
 
 ORACLES = {
@@ -2942,4 +3254,9 @@ ORACLES = {
     "q39_label_outliers": Q39_SQL,
     "q40_context_chunks": Q40_SQL,
     "q41_sequence_packing": Q41_SQL,
+    "q42_semdedup": Q42_SQL,
+    "q43_conv_rollup": Q43_SQL,
+    "q44_sft_pairs": Q44_SQL,
+    "q45_tool_transitions": Q45_SQL,
+    "q46_temperature_mix": Q46_SQL,
 }
