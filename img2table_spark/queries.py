@@ -1074,6 +1074,11 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
 
 _MAX_LP_ROUNDS = 32  # safety backstop; convergence check is the real exit
 
+# (applicationId, sf_dir, reliable) → converged label DataFrame; see
+# _lp_labels. Keyed by session so a stopped SparkSession never leaks a
+# dead checkpointed plan into a new one.
+_LP_LABELS_MEMO: dict = {}
+
 
 def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> DataFrame:
     """Connected-component labels (node, label) over the verified MinHash
@@ -1095,6 +1100,16 @@ def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> D
             "spark.sparkContext.setCheckpointDir(...) first (job.py "
             "--reliable-checkpoint-dir wires this)"
         )
+
+    # The converged label table is the near-dup CLUSTER INDEX — q16/q23/q32
+    # all start from it. Memoized per session like the IVF index: the LP
+    # rounds (the expensive iterative part) run once and every consumer
+    # reads the checkpointed result. At cluster scale this table is written
+    # once per dedup build and joined many times.
+    memo_key = (spark.sparkContext.applicationId, sf_dir, reliable)
+    hit = _LP_LABELS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
@@ -1139,6 +1154,7 @@ def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> D
         labels = stepped.select("node", "label")
         if n_changed == 0:
             break
+    _LP_LABELS_MEMO[memo_key] = labels
     return labels
 
 
