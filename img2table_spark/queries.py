@@ -3179,6 +3179,48 @@ GROUP BY d.lang
 """
 
 
+# --------------------------------------------------------------------------
+# q47 — hard-negative mining (contrastive training-pair construction): for
+# each query vector, the highest-cosine IN-BUCKET candidate that is NOT a
+# near-duplicate (cos < the q42 τ) — the "hardest negative" a retrieval
+# trainer wants. Same probe shape as q15 (broadcast query side against the
+# persisted IVF index, one window per query); the near-dup exclusion is a
+# filter, not a join. Ids-only output for cross-engine value hashing.
+# --------------------------------------------------------------------------
+
+
+def q47_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "vn", "bucket")
+    queries = assigned.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qn"), F.col("bucket").alias("qb")
+    )
+    dot = F.expr("aggregate(zip_with(vn, qn, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot)
+        .filter(F.col("cos") < _SEM_TAU)  # negatives only: exclude near-dups
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("negative_id"))
+    )
+
+
+Q47_SQL = f"""
+WITH {_IVF_CTES},
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM assigned WHERE vec_id % 50 = 0)
+SELECT query_id, vec_id AS negative_id FROM (
+  SELECT q.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC) AS rank
+  FROM assigned a JOIN q ON a.bucket = q.qb
+  WHERE a.vec_id <> q.query_id
+    AND list_cosine_similarity(a.v, q.qv) < {_SEM_TAU}
+) WHERE rank = 1
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -3226,6 +3268,7 @@ QUERIES = {
     "q44_sft_pairs": q44_sft_pairs,
     "q45_tool_transitions": q45_tool_transitions,
     "q46_temperature_mix": q46_temperature_mix,
+    "q47_hard_negatives": q47_hard_negatives,
 }
 
 ORACLES = {
@@ -3275,4 +3318,5 @@ ORACLES = {
     "q44_sft_pairs": Q44_SQL,
     "q45_tool_transitions": Q45_SQL,
     "q46_temperature_mix": Q46_SQL,
+    "q47_hard_negatives": Q47_SQL,
 }
