@@ -3221,6 +3221,286 @@ SELECT query_id, vec_id AS negative_id FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q48 — conversation-level near-dup candidates: represent each conversation
+# as the SET of its turns' prefix fingerprints (md5 of the lowercased first
+# 40 chars — robust to tail edits, the common template-dup signal) and emit
+# conversation pairs sharing >=1 fingerprint with an integer-ppm Jaccard.
+# Shape: inverted index on fingerprint with a document-frequency cap (hot
+# fingerprints — boilerplate turns — are dropped before the self-join, so
+# pair fan-out per fingerprint is bounded by the cap, q17's discipline).
+# Two shuffles (index build, pair agg); no all-pairs anywhere — scale-safe.
+# --------------------------------------------------------------------------
+
+_CONV_FP_CHARS = 40
+_CONV_DF_CAP = 32
+
+
+def q48_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = (
+        _transcripts(spark, sf_dir)
+        .select(
+            "conv_id",
+            F.md5(F.substring(F.lower("text"), 1, _CONV_FP_CHARS)).alias("fp"),
+        )
+        .distinct()
+    )
+    sizes = fps.groupBy("conv_id").agg(F.count("*").alias("sz"))
+    ok = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _CONV_DF_CAP
+    )
+    capped = fps.join(ok.select("fp"), "fp")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "fp")
+        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
+        .groupBy(
+            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("conv_id", "conv_a").withColumnRenamed("sz", "sa"), "conv_a")
+        .join(sizes.withColumnRenamed("conv_id", "conv_b").withColumnRenamed("sz", "sb"), "conv_b")
+        .select(
+            "conv_a",
+            "conv_b",
+            "n_common",
+            F.expr("CAST((1000000 * n_common) div (sa + sb - n_common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+Q48_SQL = f"""
+WITH {_TR_SQL},
+fps AS (
+  SELECT DISTINCT conv_id,
+         md5(substring(lower(text), 1, {_CONV_FP_CHARS})) AS fp
+  FROM tr),
+sizes AS (SELECT conv_id, COUNT(*) AS sz FROM fps GROUP BY conv_id),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_CONV_DF_CAP}),
+capped AS (SELECT fps.* FROM fps JOIN ok USING (fp)),
+pairs AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, COUNT(*) AS n_common
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.conv_id < b.conv_id
+  GROUP BY 1, 2)
+SELECT conv_a, conv_b, n_common,
+       CAST((1000000 * n_common) // (sa.sz + sb.sz - n_common) AS BIGINT) AS jaccard_ppm
+FROM pairs
+JOIN sizes sa ON sa.conv_id = conv_a
+JOIN sizes sb ON sb.conv_id = conv_b
+"""
+
+
+# --------------------------------------------------------------------------
+# q49 — longest same-type event run per user (gaps-and-islands RLE): the
+# classic sequence-quality signal — a user stuck emitting the same event
+# (e.g. 'error') in a row. Island id = row_number over (user) minus
+# row_number over (user, type); one shuffle on user_id shared by both
+# windows and the island agg. Ordering pinned by (ts, event_id) so equal
+# timestamps stay deterministic cross-engine.
+# --------------------------------------------------------------------------
+
+
+def q49_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("g", F.row_number().over(w) - F.row_number().over(wt))
+        .groupBy("user_id", "event_type", "g")
+        .agg(F.count("*").alias("run_len"), F.min("event_id").alias("start_id"))
+    )
+    wbest = Window.partitionBy("user_id").orderBy(F.desc("run_len"), F.asc("start_id"))
+    wall = Window.partitionBy("user_id")
+    return (
+        runs.withColumn("n_runs", F.count("*").over(wall))
+        .withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("longest_run_type"),
+            F.col("run_len").cast("long").alias("longest_run"),
+            F.col("start_id").cast("long").alias("run_start_event"),
+            F.col("n_runs").cast("long").alias("n_runs"),
+        )
+    )
+
+
+Q49_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS g
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, g, COUNT(*) AS run_len, MIN(event_id) AS start_id
+  FROM seq GROUP BY user_id, event_type, g),
+best AS (
+  SELECT user_id, event_type, run_len, start_id,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_runs,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, start_id ASC) AS rk
+  FROM runs)
+SELECT user_id, event_type AS longest_run_type,
+       CAST(run_len AS BIGINT) AS longest_run,
+       CAST(start_id AS BIGINT) AS run_start_event,
+       CAST(n_runs AS BIGINT) AS n_runs
+FROM best WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q50 — context-budget truncation: keep the longest SUFFIX of each
+# conversation whose whitespace-token total fits the window budget — the
+# standard "most recent turns that fit" policy before SFT/packing. One
+# reverse cumulative-sum window on (conv_id, turn_idx DESC); tokens are
+# positive so the cumsum is monotone and the filter is exact. A
+# conversation whose final turn alone busts the budget drops out entirely
+# (documented; the oracle agrees). One shuffle on conv_id — scale-safe.
+# --------------------------------------------------------------------------
+
+_CTX_BUDGET = 256
+
+
+def q50_context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir).withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tr.withColumn("rcum", F.sum("n_tok").over(w))
+        .filter(F.col("rcum") <= _CTX_BUDGET)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.min("turn_idx").cast("long").alias("first_kept_idx"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+Q50_SQL = f"""
+WITH {_TR_SQL},
+toks AS (
+  SELECT conv_id, turn_idx, len(str_split(text, ' ')) AS n_tok FROM tr),
+rcum AS (
+  SELECT conv_id, turn_idx, n_tok,
+         SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS rc
+  FROM toks)
+SELECT conv_id, COUNT(*) AS n_kept,
+       CAST(MIN(turn_idx) AS BIGINT) AS first_kept_idx,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+FROM rcum WHERE rc <= {_CTX_BUDGET}
+GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q51 — preference-pair (DPO) construction: each conversation in the
+# 8-turn agent pattern has TWO final-answer assistant turns (idx 3 and 7);
+# pair them as (chosen, rejected) by token-count quality with a
+# deterministic tiebreak (earlier turn wins ties) — the canonical
+# preference-dataset assembly when a grader score is a column. One window
+# over a 2-rows-per-conversation subset, then a 2-row pivot agg; single
+# shuffle on conv_id — scale-safe at any corpus size.
+# --------------------------------------------------------------------------
+
+
+def q51_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ans = (
+        _transcripts(spark, sf_dir)
+        .filter((F.col("role") == "assistant") & (F.col("turn_idx") % 4 == 3))
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n_tok"), F.asc("turn_idx"))
+    r = ans.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("conv_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("turn_idx"))).cast("long").alias("chosen_turn"),
+        F.max(F.when(F.col("rk") == 2, F.col("turn_idx"))).cast("long").alias("rejected_turn"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_tok"))).cast("long").alias("chosen_tokens"),
+        F.max(F.when(F.col("rk") == 2, F.col("n_tok"))).cast("long").alias("rejected_tokens"),
+    )
+
+
+Q51_SQL = f"""
+WITH {_TR_SQL},
+ans AS (
+  SELECT conv_id, turn_idx, len(str_split(text, ' ')) AS n_tok
+  FROM tr WHERE role = 'assistant' AND turn_idx % 4 = 3),
+rk AS (
+  SELECT conv_id, turn_idx, n_tok,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n_tok DESC, turn_idx ASC) AS rk
+  FROM ans)
+SELECT conv_id,
+       CAST(MAX(CASE WHEN rk = 1 THEN turn_idx END) AS BIGINT) AS chosen_turn,
+       CAST(MAX(CASE WHEN rk = 2 THEN turn_idx END) AS BIGINT) AS rejected_turn,
+       CAST(MAX(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT) AS chosen_tokens,
+       CAST(MAX(CASE WHEN rk = 2 THEN n_tok END) AS BIGINT) AS rejected_tokens
+FROM rk GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 — rolling range-frame burst detection: per event, how many events the
+# same user emitted in the trailing hour (RANGE frame over integer epoch
+# micros — events.ts is TIMESTAMP_NTZ, so event time is rebuilt tz-free via
+# timestampdiff against a fixed anchor, the repo's NTZ discipline); then
+# the per-user max — the rate-limit/abuse signal. RANGE frames include
+# timestamp peers regardless of tiebreak order, so the count is
+# deterministic without an id tiebreak. One shuffle on user_id.
+# --------------------------------------------------------------------------
+
+_BURST_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q52_rolling_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_BURST_WINDOW_US, 0)
+    )
+    return (
+        ev.withColumn("burst", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("burst").cast("long").alias("max_burst_1h"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+Q52_SQL = f"""
+WITH us AS (
+  SELECT user_id,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+  FROM events),
+burst AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN {_BURST_WINDOW_US} PRECEDING
+                              AND CURRENT ROW) AS b
+  FROM us)
+SELECT user_id, CAST(MAX(b) AS BIGINT) AS max_burst_1h,
+       COUNT(*) AS n_events
+FROM burst GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -3269,6 +3549,11 @@ QUERIES = {
     "q45_tool_transitions": q45_tool_transitions,
     "q46_temperature_mix": q46_temperature_mix,
     "q47_hard_negatives": q47_hard_negatives,
+    "q48_conv_neardup": q48_conv_neardup,
+    "q49_event_runs": q49_event_runs,
+    "q50_context_truncate": q50_context_truncate,
+    "q51_dpo_pairs": q51_dpo_pairs,
+    "q52_rolling_burst": q52_rolling_burst,
 }
 
 ORACLES = {
@@ -3319,4 +3604,9 @@ ORACLES = {
     "q45_tool_transitions": Q45_SQL,
     "q46_temperature_mix": Q46_SQL,
     "q47_hard_negatives": Q47_SQL,
+    "q48_conv_neardup": Q48_SQL,
+    "q49_event_runs": Q49_SQL,
+    "q50_context_truncate": Q50_SQL,
+    "q51_dpo_pairs": Q51_SQL,
+    "q52_rolling_burst": Q52_SQL,
 }
