@@ -3245,6 +3245,10 @@ def q48_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Five consumers (sizes twice, the DF filter, both self-join sides) —
+    # persist so the corpus is scanned and fingerprinted ONCE (q17's
+    # discipline; MEMORY_AND_DISK spills instead of recomputing).
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = fps.groupBy("conv_id").agg(F.count("*").alias("sz"))
     ok = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _CONV_DF_CAP
