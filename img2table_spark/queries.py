@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools as _functools
 import hashlib as _hashlib
+import math as _math
 from pathlib import Path
 
 import pandas as pd  # noqa: F401 — pandas_udf type hints resolve at module scope
@@ -3505,6 +3506,409 @@ FROM burst GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q53 — merge consecutive same-role turns (speaker normalization). Raw
+# multi-channel ingest fragments one logical utterance into several
+# consecutive turns with the same role; training-data prep re-joins them
+# (gaps-and-islands over (conv_id, turn_idx) + ordered concat — the
+# transcript twin of q49's event runs). The fragmented ingest is modelled by
+# a deterministic role sequence with genuine same-role adjacency
+# (((doc_id*3) div 5) % 3 yields mixed island lengths 1-2), since the
+# canonical 4-beat agent loop never repeats a role. Two windows + one
+# ordered agg, all on conv_id — ONE shuffle, scale-safe (islands are
+# intra-conversation, conv sizes bounded by construction).
+# --------------------------------------------------------------------------
+
+_Q53_ROLE = (
+    "CASE ((doc_id * 3) div 5) % 3 WHEN 0 THEN 'user' "
+    "WHEN 1 THEN 'assistant' ELSE 'tool' END"
+)
+
+
+def q53_merge_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _t(spark, sf_dir, "documents").select(
+        F.expr(f"'c' || CAST(doc_id div {_TR_TURNS} AS STRING)").alias("conv_id"),
+        F.expr(f"CAST(doc_id % {_TR_TURNS} AS INT)").alias("turn_idx"),
+        F.expr(_Q53_ROLE).alias("role"),
+        "text",
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seg = raw.withColumn(
+        "chg",
+        F.when(F.lag("role").over(w).eqNullSafe(F.col("role")), 0).otherwise(1),
+    ).withColumn("seg", F.sum("chg").over(w))
+    return seg.groupBy("conv_id", "seg").agg(
+        F.min("role").alias("role"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.count("*").cast("long").alias("n_merged"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+        ).alias("text"),
+    ).select(
+        "conv_id",
+        (F.col("seg") - 1).cast("long").alias("seg_idx"),
+        "role",
+        "first_turn",
+        "n_merged",
+        "text",
+    )
+
+
+Q53_SQL = f"""
+WITH raw AS (
+  SELECT 'c' || CAST(doc_id // {_TR_TURNS} AS VARCHAR) AS conv_id,
+         CAST(doc_id % {_TR_TURNS} AS INTEGER) AS turn_idx,
+         CASE ((doc_id * 3) // 5) % 3 WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+flg AS (
+  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      IS NOT DISTINCT FROM role THEN 0 ELSE 1 END AS chg
+  FROM raw),
+seg AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seg
+  FROM flg)
+SELECT conv_id, CAST(seg - 1 AS BIGINT) AS seg_idx, MIN(role) AS role,
+       CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
+       COUNT(*) AS n_merged,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM seg GROUP BY conv_id, seg
+"""
+
+
+# --------------------------------------------------------------------------
+# q54 — transcript-side decontamination: flag conversations whose assistant
+# turns share a verbatim 8-gram with a benchmark/eval document set (the
+# "don't train on eval-tainted conversations" gate — q26's twin pointed at
+# transcripts instead of the pretraining corpus). The benchmark shingle set
+# (docs with doc_id % 97 == 0) is tiny → broadcast; ONE pass over the
+# assistant turns; per-conv rollup keeps only tainted conversations. ANSI
+# guard: 8-gram transform only fires when size(t) >= 8 (sequence(a,b)
+# counts DOWN when a > b — CLAUDE.md gotcha).
+# --------------------------------------------------------------------------
+
+_Q54_BENCH_MOD = 97
+_Q54_K = 8
+
+
+def q54_transcript_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _Q54_K
+    sh_expr = (
+        f"CASE WHEN size(t) >= {k} THEN transform(sequence(0, size(t) - {k}), "
+        f"i -> md5(array_join(slice(t, i + 1, {k}), ' '))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(f"doc_id % {_Q54_BENCH_MOD} = 0"))
+        .select(F.split("text", " ").alias("t"))
+        .select(F.explode(F.expr(sh_expr)).alias("h"))
+        .distinct()
+    )
+    tr = _transcripts(spark, sf_dir).filter(F.col("role") == "assistant")
+    flagged = (
+        tr.select("conv_id", "turn_idx", F.split("text", " ").alias("t"))
+        .select("conv_id", "turn_idx", F.explode(F.expr(sh_expr)).alias("h"))
+        .join(F.broadcast(bench), "h")
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_tainted"))
+    )
+    rollup = tr.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_assistant")
+    )
+    return flagged.join(rollup, "conv_id").select(
+        "conv_id", "n_tainted", "n_assistant"
+    )
+
+
+Q54_SQL = f"""
+WITH {_TR_SQL},
+bench AS (
+  SELECT DISTINCT md5(array_to_string(t[i + 1 : i + {_Q54_K}], ' ')) AS h
+  FROM (SELECT t, unnest(range(0, GREATEST(len(t) - {_Q54_K} + 1, 0))) AS i
+        FROM (SELECT str_split(text, ' ') AS t FROM documents
+              WHERE doc_id % {_Q54_BENCH_MOD} = 0) d0) d),
+aturns AS (
+  SELECT conv_id, turn_idx, str_split(text, ' ') AS t FROM tr
+  WHERE role = 'assistant'),
+hits AS (
+  SELECT DISTINCT conv_id, turn_idx
+  FROM (SELECT conv_id, turn_idx,
+               md5(array_to_string(t[i + 1 : i + {_Q54_K}], ' ')) AS h
+        FROM (SELECT conv_id, turn_idx, t,
+                     unnest(range(0, GREATEST(len(t) - {_Q54_K} + 1, 0))) AS i
+              FROM aturns) q) s
+  JOIN bench USING (h)),
+flagged AS (
+  SELECT conv_id, COUNT(*) AS n_tainted FROM hits GROUP BY conv_id),
+rollup AS (
+  SELECT conv_id, COUNT(*) AS n_assistant FROM aturns GROUP BY conv_id)
+SELECT conv_id, n_tainted, n_assistant
+FROM flagged JOIN rollup USING (conv_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 — count-min-sketch heavy hitters: the fixed-size mergeable frequency
+# sketch for 100-TB token streams. d=4 rows × w=1024 buckets; ONE md5 per
+# token (60-bit base) + the q08 affine family picks the 4 buckets, so the
+# cells table is a plain (r, bucket) groupBy — map-side combinable to
+# ≤ 4096 rows per task, ~zero shuffle bytes regardless of corpus size. The
+# probe vocabulary (tokens of docs 0-7, bounded) is estimated from the
+# sketch (min over the 4 cells) and validated against its exact counts —
+# est ≥ exact always; equality unless buckets collide. Both engines derive
+# identical cells and estimates (exact decimal/HUGEINT arithmetic).
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+
+
+def _cms_bucket_cols(col: str = "tok") -> list:
+    base = f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as decimal(20,0))"
+    return [
+        F.expr(
+            f"cast(pmod(cast({a} as decimal(38,0)) * {base} + {b}, {_MH_P}) "
+            f"as bigint) % {_CMS_W}"
+        ).alias(f"b{r}")
+        for r, (a, b) in enumerate(_MH_AB[: _CMS_D])
+    ]
+
+
+def q55_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _cms_tokens(spark, sf_dir)
+    cells = (
+        toks.select(*_cms_bucket_cols())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("r"),
+                            F.col(f"b{r}").alias("bucket"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    probe = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    est = (
+        probe.select("tok", *_cms_bucket_cols())
+        .select(
+            "tok",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("r"),
+                            F.col(f"b{r}").alias("bucket"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select("tok", "cell.r", "cell.bucket")
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = (
+        toks.join(F.broadcast(probe), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    return est.join(exact, "tok").select(
+        F.col("tok").alias("token"), "est", "exact"
+    )
+
+
+_CMS_SQL_BUCKETS = ",\n         ".join(
+    f"CAST((CAST({a} AS HUGEINT) * base + {b}) % {_MH_P} AS BIGINT) "
+    f"% {_CMS_W} AS b{r}"
+    for r, (a, b) in enumerate(_MH_AB[: _CMS_D])
+)
+_CMS_SQL_STACK = "\n  UNION ALL ".join(
+    f"SELECT {r} AS r, b{r} AS bucket FROM hb" for r in range(_CMS_D)
+)
+_CMS_SQL_PROBE_STACK = "\n  UNION ALL ".join(
+    f"SELECT tok, {r} AS r, b{r} AS bucket FROM pb" for r in range(_CMS_D)
+)
+
+Q55_SQL = f"""
+WITH toks AS (
+  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+hb AS (
+  SELECT {_CMS_SQL_BUCKETS}
+  FROM (SELECT CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+               AS HUGEINT) AS base FROM toks) q),
+stacked AS (
+  {_CMS_SQL_STACK}),
+cells AS (
+  SELECT r, bucket, COUNT(*) AS cnt FROM stacked GROUP BY r, bucket),
+probe AS (
+  SELECT DISTINCT unnest(str_split(text, ' ')) AS tok FROM documents
+  WHERE doc_id < 8),
+pb AS (
+  SELECT tok, {_CMS_SQL_BUCKETS}
+  FROM (SELECT tok, CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+               AS HUGEINT) AS base FROM probe) q),
+pstack AS (
+  {_CMS_SQL_PROBE_STACK}),
+est AS (
+  SELECT tok, MIN(cnt) AS est FROM pstack JOIN cells USING (r, bucket)
+  GROUP BY tok),
+ex AS (
+  SELECT t.tok, COUNT(*) AS exact FROM toks t JOIN probe p ON t.tok = p.tok
+  GROUP BY t.tok)
+SELECT est.tok AS token, CAST(est.est AS BIGINT) AS est, exact
+FROM est JOIN ex ON est.tok = ex.tok
+"""
+
+
+# --------------------------------------------------------------------------
+# q56 — LogLog distinct-count sketch: distinct users per event_type via 64
+# max-registers — the fixed-size mergeable alternative to COUNT(DISTINCT)
+# whose shuffle is 64 (event_type, register) rows per group instead of one
+# row per distinct user. Registers are MAX aggregates (deterministic,
+# map-side combinable); rho = 55 - bitlength(h div 64) over the 60-bit md5
+# base (v = 0 → rho 54, a 2^-54 quirk identical in both engines). The
+# estimate is Durand-Flajolet LogLog with alpha scaled to integer
+# (709/1000): est = (709 · m² · 2^55) div (1000 · S) where
+# S = Σ 2^(55-M_j) — ALL integer arithmetic (HUGEINT / decimal(38,0)), so
+# Spark and DuckDB agree bit-for-bit; exact distinct reported alongside.
+# Small-range correction is HLL's linear counting (est < 5m/2 and zero
+# registers present → m·ln(m/V)), with the 63 possible m·ln(m/V) values
+# precomputed HERE in Python and injected as integer literals into both
+# engines — no runtime float, no libm cross-engine drift.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_TWO55 = 1 << 55
+_HLL_LC_CASE = (
+    "CASE n_zero "
+    + " ".join(
+        f"WHEN {v} THEN {round(_HLL_M * _math.log(_HLL_M / v))}"
+        for v in range(1, _HLL_M)
+    )
+    + " END"
+)
+
+
+def q56_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) "
+            "as bigint)"
+        ).alias("h"),
+    )
+    regs = (
+        h.select(
+            "event_type",
+            (F.col("h") % _HLL_M).alias("idx"),
+            (F.lit(55) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))).alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    sketch = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+        .cast("decimal(38,0)")
+        .alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    est = (
+        sketch.select(
+            "event_type",
+            F.expr(
+                f"cast(cast(709 as decimal(38,0)) * {_HLL_M * _HLL_M} * "
+                f"{_HLL_TWO55} div (1000 * (s_present + "
+                f"({_HLL_M} - n_regs) * cast({_HLL_TWO55} as decimal(38,0)))) "
+                "as bigint)"
+            ).alias("raw_est"),
+            (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("n_zero"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"cast(CASE WHEN n_zero > 0 AND raw_est < {5 * _HLL_M // 2} "
+                f"THEN {_HLL_LC_CASE} ELSE raw_est END as bigint)"
+            ).alias("est_distinct"),
+            F.col("n_zero").alias("n_zero_regs"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_distinct", "exact_distinct", "n_zero_regs"
+    )
+
+
+Q56_SQL = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events),
+regs AS (
+  SELECT event_type, h % {_HLL_M} AS idx,
+         MAX(55 - length(bin(h // {_HLL_M}))) AS m
+  FROM h GROUP BY event_type, h % {_HLL_M}),
+sk AS (
+  SELECT event_type,
+         SUM(CAST(1::BIGINT << (55 - m) AS HUGEINT)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type),
+raw AS (
+  SELECT event_type,
+         CAST((CAST(709 AS HUGEINT) * {_HLL_M * _HLL_M} * {_HLL_TWO55})
+              // (1000 * (s_present +
+                  ({_HLL_M} - n_regs) * CAST({_HLL_TWO55} AS HUGEINT)))
+              AS BIGINT) AS raw_est,
+         CAST({_HLL_M} - n_regs AS BIGINT) AS n_zero
+  FROM sk),
+est AS (
+  SELECT event_type,
+         CAST(CASE WHEN n_zero > 0 AND raw_est < {5 * _HLL_M // 2}
+              THEN {_HLL_LC_CASE} ELSE raw_est END AS BIGINT) AS est_distinct,
+         n_zero AS n_zero_regs
+  FROM raw),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT event_type, est_distinct, exact_distinct, n_zero_regs
+FROM est JOIN ex USING (event_type)
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -3558,6 +3962,10 @@ QUERIES = {
     "q50_context_truncate": q50_context_truncate,
     "q51_dpo_pairs": q51_dpo_pairs,
     "q52_rolling_burst": q52_rolling_burst,
+    "q53_merge_turns": q53_merge_turns,
+    "q54_transcript_contam": q54_transcript_contam,
+    "q55_cms_heavy_hitters": q55_cms_heavy_hitters,
+    "q56_distinct_sketch": q56_distinct_sketch,
 }
 
 ORACLES = {
@@ -3613,4 +4021,8 @@ ORACLES = {
     "q50_context_truncate": Q50_SQL,
     "q51_dpo_pairs": Q51_SQL,
     "q52_rolling_burst": Q52_SQL,
+    "q53_merge_turns": Q53_SQL,
+    "q54_transcript_contam": Q54_SQL,
+    "q55_cms_heavy_hitters": Q55_SQL,
+    "q56_distinct_sketch": Q56_SQL,
 }

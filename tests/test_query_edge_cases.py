@@ -58,3 +58,87 @@ def test_q26_decontam_green_at_both_widths(spark):
     assert len({r[0] for r in con.execute(decontam_sql(13)).fetchall()}) < len(
         {r[0] for r in con.execute(decontam_sql(3)).fetchall()}
     )
+
+
+def test_q53_merges_role_islands_exactly(spark, tmp_path):
+    """Gaps-and-islands semantics pinned by hand: doc_ids 0-7 form one conv
+    whose derived raw roles are u,u,a,a,t,u,u,a (((d*3) div 5) % 3), so the
+    merge must yield 5 segments with n_merged 2,2,1,2,1 and '\n'-joined
+    text in turn order."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [f"t{i}" for i in range(8)],
+            "lang": ["en"] * 8,
+            "n_chars": [2] * 8,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q53_merge_turns
+
+    out = (
+        q53_merge_turns(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("seg_idx")
+        .reset_index(drop=True)
+    )
+    assert list(out["conv_id"].unique()) == ["c0"]
+    assert list(out["n_merged"]) == [2, 2, 1, 2, 1]
+    assert list(out["role"]) == ["user", "assistant", "tool", "user", "assistant"]
+    assert list(out["text"]) == ["t0\nt1", "t2\nt3", "t4", "t5\nt6", "t7"]
+    assert list(out["first_turn"]) == [0, 2, 4, 5, 7]
+
+
+def test_q54_guard_and_benchmark_hit(spark, tmp_path):
+    """q54's 8-gram transform must survive assistant turns with < 8 tokens
+    (the ANSI sequence-counts-down gotcha) and flag exactly the turn that
+    quotes the benchmark doc verbatim."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    quoting = "intro alpha beta gamma delta epsilon zeta eta theta outro"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                bench_text,          # doc 0: benchmark member (0 % 97 == 0), user turn
+                quoting,             # doc 1: assistant, shares an 8-gram -> tainted
+                "w x y z " * 3,      # doc 2: tool
+                "one two three four five six seven eight nine",  # doc 3: assistant, clean
+                "u turn text here again and again ok",           # doc 4: user
+                "too short",         # doc 5: assistant, < 8 tokens (guard)
+                "tool result body with enough words to shingle", # doc 6: tool
+                "closing remark",    # doc 7: assistant, < 8 tokens (guard)
+            ],
+            "lang": ["en"] * 8,
+            "n_chars": [10] * 8,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q54_transcript_contam
+
+    out = q54_transcript_contam(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["conv_id"], row["n_tainted"], row["n_assistant"]) == ("c0", 1, 4)
+
+
+def test_q55_cms_overestimates_only(spark):
+    """Count-min sketch invariant: the estimate can only overcount (cell
+    sums are supersets of each token's stream), never undercount."""
+    from img2table_spark.queries import q55_cms_heavy_hitters
+
+    out = q55_cms_heavy_hitters(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert (out["est"] >= out["exact"]).all()
+
+
+def test_q56_loglog_error_bound(spark):
+    """LogLog with m=64 registers has a ~1.3/sqrt(64) = 16% standard error;
+    assert the estimate lands within 35% of the exact distinct count for
+    every event type (deterministic hashes make this a fixed outcome, not a
+    flaky statistical test)."""
+    from img2table_spark.queries import q56_distinct_sketch
+
+    out = q56_distinct_sketch(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    err = (out["est_distinct"] - out["exact_distinct"]).abs() / out["exact_distinct"]
+    assert (err < 0.35).all(), out.to_dict("records")
