@@ -3909,6 +3909,53 @@ FROM est JOIN ex USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q57 — exact discrete percentiles (p50/p90/p99 of event value per type):
+# the latency/SLO rollup every event pipeline runs. percentile_disc
+# semantics are hand-built from row_number + ceil-rank arithmetic
+# ((p·n + 99) div 100) instead of engine builtins, so tie-handling and
+# rank selection are bit-identical across Spark and DuckDB (interpolating
+# percentile builtins differ; disc builtins differ on ties). ONE exchange:
+# the rank window, the count window, and the pivot agg all ride the
+# event_type partitioning. At 100 TB the window sort dominates — for a
+# true hot path swap in a fixed-width value histogram (the q06 binned-mode
+# shape); this operator is the exact-answer variant.
+# --------------------------------------------------------------------------
+
+_Q57_PCTS = (50, 90, 99)
+
+
+def q57_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(wall))
+    aggs = [
+        F.max(
+            F.when(F.expr(f"rn = ({p} * n + 99) div 100"), F.col("value"))
+        ).alias(f"p{p}")
+        for p in _Q57_PCTS
+    ]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"), *aggs
+    )
+
+
+Q57_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       {", ".join(f"MAX(CASE WHEN rn = ({p} * n + 99) // 100 THEN value END) AS p{p}" for p in _Q57_PCTS)}
+FROM ranked GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -3966,6 +4013,7 @@ QUERIES = {
     "q54_transcript_contam": q54_transcript_contam,
     "q55_cms_heavy_hitters": q55_cms_heavy_hitters,
     "q56_distinct_sketch": q56_distinct_sketch,
+    "q57_value_percentiles": q57_value_percentiles,
 }
 
 ORACLES = {
@@ -4025,4 +4073,5 @@ ORACLES = {
     "q54_transcript_contam": Q54_SQL,
     "q55_cms_heavy_hitters": Q55_SQL,
     "q56_distinct_sketch": Q56_SQL,
+    "q57_value_percentiles": Q57_SQL,
 }
