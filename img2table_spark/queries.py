@@ -3956,6 +3956,93 @@ FROM ranked GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q58 — incremental near-dup dedup: a NEW ingest batch (doc_id % 10 == 7)
+# deduped against the EXISTING corpus's MinHash-LSH band index plus
+# itself — the production shape for rolling ingestion, where the corpus is
+# never rescanned as text (only its persisted band-signature index, the
+# very table q08 builds) and each new doc gets a verdict: 'dup_corpus'
+# (shares a band signature with an indexed doc), 'dup_batch' (a lower-id
+# batch sibling shares one), or 'new'. Plan shape for 100 TB: the batch is
+# the SMALL side — its distinct band keys broadcast against ONE scan of
+# the corpus index (left-semi, corpus never shuffled), the (small) match
+# set broadcasts back onto the batch, and the intra-batch collision check
+# runs on batch-sized data only.
+# --------------------------------------------------------------------------
+
+_Q58_BATCH_MOD = 10
+_Q58_BATCH_REM = 7
+
+
+def q58_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands(_shingles(spark, sf_dir))
+    is_batch = F.expr(f"doc_id % {_Q58_BATCH_MOD} = {_Q58_BATCH_REM}")
+    bb = bands.filter(is_batch).persist(StorageLevel.MEMORY_AND_DISK)
+    cb = bands.filter(~is_batch)
+    matched = (
+        cb.join(
+            F.broadcast(bb.select("band", "sig").distinct()),
+            ["band", "sig"],
+            "left_semi",
+        )
+        .select("band", "sig")
+        .distinct()
+        .withColumn("in_c", F.lit(1))
+    )
+    bmin = bb.groupBy("band", "sig").agg(F.min("doc_id").alias("min_id"))
+    return (
+        bb.join(F.broadcast(matched), ["band", "sig"], "left_outer")
+        .join(F.broadcast(bmin), ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce(F.col("in_c"), F.lit(0))).alias("hit_c"),
+            F.max(F.when(F.col("min_id") < F.col("doc_id"), 1).otherwise(0)).alias(
+                "hit_b"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("hit_c") == 1, F.lit("dup_corpus"))
+            .when(F.col("hit_b") == 1, F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+Q58_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+{_MH_SQL_CTES},
+bb AS (
+  SELECT * FROM bands WHERE doc_id % {_Q58_BATCH_MOD} = {_Q58_BATCH_REM}),
+cb AS (
+  SELECT * FROM bands WHERE doc_id % {_Q58_BATCH_MOD} != {_Q58_BATCH_REM}),
+matched AS (
+  SELECT DISTINCT c.band, c.sig FROM cb c
+  JOIN (SELECT DISTINCT band, sig FROM bb) p
+    ON c.band = p.band AND c.sig = p.sig),
+bmin AS (
+  SELECT band, sig, MIN(doc_id) AS min_id FROM bb GROUP BY band, sig)
+SELECT b.doc_id,
+       CASE WHEN MAX(CASE WHEN m.band IS NOT NULL THEN 1 ELSE 0 END) = 1
+              THEN 'dup_corpus'
+            WHEN MAX(CASE WHEN mn.min_id < b.doc_id THEN 1 ELSE 0 END) = 1
+              THEN 'dup_batch'
+            ELSE 'new' END AS verdict
+FROM bb b
+LEFT JOIN matched m ON b.band = m.band AND b.sig = m.sig
+JOIN bmin mn ON b.band = mn.band AND b.sig = mn.sig
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -4014,6 +4101,7 @@ QUERIES = {
     "q55_cms_heavy_hitters": q55_cms_heavy_hitters,
     "q56_distinct_sketch": q56_distinct_sketch,
     "q57_value_percentiles": q57_value_percentiles,
+    "q58_incremental_dedup": q58_incremental_dedup,
 }
 
 ORACLES = {
@@ -4074,4 +4162,5 @@ ORACLES = {
     "q55_cms_heavy_hitters": Q55_SQL,
     "q56_distinct_sketch": Q56_SQL,
     "q57_value_percentiles": Q57_SQL,
+    "q58_incremental_dedup": Q58_SQL,
 }

@@ -142,3 +142,29 @@ def test_q56_loglog_error_bound(spark):
     assert len(out) > 0
     err = (out["est_distinct"] - out["exact_distinct"]).abs() / out["exact_distinct"]
     assert (err < 0.35).all(), out.to_dict("records")
+
+
+def test_q58_verdict_precedence(spark, tmp_path):
+    """Incremental dedup verdicts pinned by hand: identical texts collide on
+    every band, so a batch doc matching the corpus index is 'dup_corpus', a
+    batch doc whose only collision is a lower-id batch sibling is
+    'dup_batch', and the lowest sibling (plus any unmatched doc) is 'new'.
+    dup_batch is vacuous at gate scale (no planted intra-batch near-dups),
+    so this pins that branch."""
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "completely different second document with many more words here"
+    c = "yet another unrelated third document text goes right here now"
+    pdf = pd.DataFrame(
+        {
+            # 3 is corpus; 7, 17, 27, 37 are the batch (% 10 == 7)
+            "doc_id": [3, 7, 17, 27, 37],
+            "text": [a, b, b, a, c],
+            "lang": ["en"] * 5,
+            "n_chars": [len(t) for t in [a, b, b, a, c]],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q58_incremental_dedup
+
+    out = {r["doc_id"]: r["verdict"] for r in q58_incremental_dedup(spark, str(tmp_path)).collect()}
+    assert out == {7: "new", 17: "dup_batch", 27: "dup_corpus", 37: "new"}, out
