@@ -4043,6 +4043,54 @@ GROUP BY b.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q59 — histogram quantiles: the 100-TB scale path paired with q57's exact
+# sort. Values bucket into fixed unit-width bins (a bounded agg that
+# map-side combines — the shuffle carries ≤ n_bins rows per group instead
+# of every row through a sort), a cumulative window over the tiny bin
+# table walks the CDF, and each percentile reports the first bin whose
+# cumulative count reaches the q57 rank — so p_hist ∈ [floor(p_exact),
+# ceil(p_exact)] by construction (error ≤ the bin width, pinned in tests).
+# Integer-only; the same histogram is mergeable across days/partitions.
+# --------------------------------------------------------------------------
+
+
+def q59_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    aggs = [
+        F.min(
+            F.when(F.expr(f"cum >= ({p} * n + 99) div 100"), F.col("bin"))
+        ).alias(f"p{p}_bin")
+        for p in _Q57_PCTS
+    ]
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"), *aggs
+    )
+
+
+Q59_SQL = f"""
+WITH bins AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bins)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       {", ".join(f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 THEN bin END) AS p{p}_bin" for p in _Q57_PCTS)}
+FROM cum GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -4102,6 +4150,7 @@ QUERIES = {
     "q56_distinct_sketch": q56_distinct_sketch,
     "q57_value_percentiles": q57_value_percentiles,
     "q58_incremental_dedup": q58_incremental_dedup,
+    "q59_histogram_quantiles": q59_histogram_quantiles,
 }
 
 ORACLES = {
@@ -4163,4 +4212,5 @@ ORACLES = {
     "q56_distinct_sketch": Q56_SQL,
     "q57_value_percentiles": Q57_SQL,
     "q58_incremental_dedup": Q58_SQL,
+    "q59_histogram_quantiles": Q59_SQL,
 }

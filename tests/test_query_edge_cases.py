@@ -168,3 +168,22 @@ def test_q58_verdict_precedence(spark, tmp_path):
 
     out = {r["doc_id"]: r["verdict"] for r in q58_incremental_dedup(spark, str(tmp_path)).collect()}
     assert out == {7: "new", 17: "dup_batch", 27: "dup_corpus", 37: "new"}, out
+
+
+def test_q59_brackets_q57_exact_percentiles(spark):
+    """The histogram quantile must land in the unit bin containing the
+    exact percentile: p_bin == floor(p_exact) for every type/percentile
+    (same rank arithmetic, bin width 1)."""
+    import math
+
+    from img2table_spark.queries import q57_value_percentiles, q59_histogram_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["event_type"]: r for r in q57_value_percentiles(spark, sf).collect()}
+    hist = {r["event_type"]: r for r in q59_histogram_quantiles(spark, sf).collect()}
+    assert exact.keys() == hist.keys() and exact
+    for et in exact:
+        for p in (50, 90, 99):
+            assert hist[et][f"p{p}_bin"] == math.floor(exact[et][f"p{p}"]), (
+                et, p, hist[et][f"p{p}_bin"], exact[et][f"p{p}"],
+            )
