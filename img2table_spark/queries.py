@@ -4091,6 +4091,313 @@ FROM cum GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q60 — BM25 keyword search top-k (Okapi BM25, k1 = 6/5, b = 3/4): the
+# retrieval operator a curation pipeline uses to source topical training
+# subsets ("give me the best docs for these query terms"). Integer-exact
+# cross-engine: the Okapi per-term score
+#   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+# is multiplied through by 10·AV (AV = Σ dl, ND = |docs|, avgdl = AV/ND) so
+# with idf_pct = (100·ND) div df (q31's log-free idf) it becomes
+#   (1000 · idf_pct · tf · 22 · AV) div (10·AV·tf + 3·AV + 9·dl·ND)
+# — pure integer floor-division, Spark decimal(38,0) ≡ DuckDB HUGEINT
+# (products overflow int64 at sf0.1; the decimal/HUGEINT pairing is the
+# repo's documented pattern). Scale shape: the corpus scan filters to the
+# query terms immediately after the explode (everything else is never
+# aggregated), df/idf of the handful of terms broadcasts, the query-term
+# table broadcasts, and top-k per query is a window over the tiny scored
+# table. dl rides the tokenize pass as a carried column — no join back to
+# the docs table.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = [
+    (1, "join"), (1, "window"),
+    (2, "hash"), (2, "scan"), (2, "merge"),
+    (3, "stream"), (3, "spark"),
+]
+_BM25_K = 5
+
+
+def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = (
+        docs.select(F.size(F.split("text", " ")).alias("dl"))
+        .agg(F.sum("dl").alias("av"), F.count("*").alias("nd"))
+        .collect()[0]
+    )  # two global scalars (one tiny agg), not data
+    av, nd = int(stats.av), int(stats.nd)
+    terms = sorted({t for _, t in _BM25_TERMS})
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isin(terms))
+    # persist so the corpus is tokenized ONCE (q17's pattern) — without it
+    # the idf branch under the broadcast re-runs the scan+explode.
+    tf = toks.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf_pct", F.expr(f"(100 * {nd}) div df"))
+    )
+    qterms = spark.createDataFrame(_BM25_TERMS, "query_id INT, tok STRING")
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(qterms), "tok")
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"CAST((CAST(1000 AS DECIMAL(38,0)) * idf_pct * tf * 22 * {av})"
+                f" div (CAST(10 AS DECIMAL(38,0)) * {av} * tf + 3 * {av}"
+                f" + 9 * dl * {nd}) AS BIGINT)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score"), F.count("*").alias("n_terms"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= _BM25_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            "score",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_TERMS)
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted({t for _, t in _BM25_TERMS}))
+
+Q60_SQL = f"""
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+stats AS (SELECT SUM(len(t)) AS av, COUNT(*) AS nd FROM d),
+terms(query_id, tok) AS (VALUES {_BM25_VALUES}),
+toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM d),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, dl, tok),
+idf AS (
+  SELECT tok, (100 * (SELECT nd FROM stats)) // COUNT(*) AS idf_pct
+  FROM tf GROUP BY tok),
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         CAST(SUM(CAST((CAST(1000 AS HUGEINT) * i.idf_pct * f.tf * 22
+                   * (SELECT av FROM stats))
+                  // (CAST(10 AS HUGEINT) * (SELECT av FROM stats) * f.tf
+                      + 3 * (SELECT av FROM stats)
+                      + 9 * f.dl * (SELECT nd FROM stats)) AS BIGINT))
+           AS BIGINT) AS score,
+         COUNT(*) AS n_terms
+  FROM tf f JOIN idf i USING (tok) JOIN terms q USING (tok)
+  GROUP BY q.query_id, f.doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored) z
+WHERE rnk <= {_BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q61 — PMI collocations (pointwise mutual information over consecutive
+# token pairs): the collocation-mining signal used to build tokenizer merge
+# candidates and phrase vocabularies from a corpus. Log-free integer score:
+# PMI orders by P(xy)/(P(x)·P(y)) = (c_xy/B)·T²/(c_x·c_y), so
+#   score = (10^6 · c_xy · T · T) div (B · c_x · c_y)
+# (T = total tokens, B = total bigrams) is monotone in PMI and bit-identical
+# across engines (decimal(38,0) ≡ HUGEINT; T² overflows int64). Scale
+# shape: bigram counts are agg keys (map-side combine; no hot join keys),
+# the unigram vocabulary aggregate broadcasts back (vocabulary ≪ corpus —
+# q31's assumption, documented there), and the global top-k runs as
+# orderBy().limit() — Spark's distributed TakeOrdered, each partition
+# contributes only its local top-k, no single-partition window over the
+# full bigram table.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_C = 5
+_PMI_K = 20
+
+
+def q61_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    stats = (
+        toks.select(F.size("t").alias("n"))
+        .agg(
+            F.sum("n").alias("t_tok"),
+            F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("b_tok"),
+        )
+        .collect()[0]
+    )
+    t_tok, b_tok = int(stats.t_tok), int(stats.b_tok)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2)) ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_C)
+    )
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))), "w2")
+        .withColumn(
+            "score",
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * c_xy * {t_tok} * {t_tok})"
+                f" div (CAST({b_tok} AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)"
+            ),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), "w1", "w2").limit(_PMI_K)
+    rn = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), "w1", "w2")
+    )  # window over ≤ _PMI_K rows (post-limit) — single partition is fine
+    return top.withColumn("rnk", rn).select(
+        "w1", "w2", "c_xy", "c_x", "c_y", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+Q61_SQL = f"""
+WITH d AS (SELECT str_split(text, ' ') AS t FROM documents),
+uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM d) u GROUP BY w),
+stats AS (
+  SELECT SUM(len(t)) AS t_tok,
+         SUM(CASE WHEN len(t) >= 1 THEN len(t) - 1 ELSE 0 END) AS b_tok
+  FROM d),
+bc AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c_xy
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2
+  GROUP BY t[i], t[i + 1]
+  HAVING COUNT(*) >= {_PMI_MIN_C}),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c_x, u2.c AS c_y,
+         CAST((CAST(1000000 AS HUGEINT) * bc.c_xy * (SELECT t_tok FROM stats)
+               * (SELECT t_tok FROM stats))
+              // (CAST((SELECT b_tok FROM stats) AS HUGEINT) * u1.c * u2.c)
+           AS BIGINT) AS score
+  FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2)
+SELECT w1, w2, c_xy, c_x, c_y, score, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, w1, w2) AS rnk FROM scored) z
+WHERE rnk <= {_PMI_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q62 — URL canonicalization + canonical-URL dedup (the C4/RefinedWeb URL
+# normalization step that runs BEFORE content dedup): lowercase host, fold
+# scheme to https (protocol-insensitive dedup policy), strip default ports
+# :80/:443, drop the #fragment, drop utm_* tracking params, strip trailing
+# path slashes, and sort the surviving query params — then group by the
+# canonical URL to pick a keeper. Messy URLs are synthesized
+# deterministically from doc_id (4 variants per target: mixed-case
+# host+scheme with :443 + utm + fragment / already-clean / http with :80 +
+# trailing slash + utm / extra ref param, which must NOT collapse with the
+# first three). Identical regex/string algebra on both engines; pure
+# per-row map + ONE groupBy on the canonical key — 0 joins, scale-safe at
+# any corpus size.
+# --------------------------------------------------------------------------
+
+
+def q62_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    messy = (
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('HTTPS://Site', p, '.Example.COM:443/page/', p, "
+        "'?utm_source=feed&id=', p, '#sec') "
+        "WHEN 1 THEN concat('https://site', p, '.example.com/page/', p, '?id=', p) "
+        "WHEN 2 THEN concat('http://site', p, '.example.com:80/page/', p, "
+        "'/?id=', p, '&utm_campaign=x') "
+        "ELSE concat('https://site', p, '.example.com/page/', p, "
+        "'?ref=home&id=', p) END"
+    )
+    t = docs.select(
+        "doc_id",
+        F.expr("CAST(doc_id div 4 AS STRING)").alias("p"),
+    ).select("doc_id", F.expr(messy).alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1)),
+        r":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    kept = F.expr(
+        "array_join(array_sort(filter(split("
+        "regexp_extract(url, '\\\\?([^#]*)', 1), '&'),"
+        " x -> x != '' AND NOT startswith(x, 'utm_'))), '&')"
+    )
+    canon = t.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+Q62_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'HTTPS://Site' || p || '.Example.COM:443/page/' || p
+                       || '?utm_source=feed&id=' || p || '#sec'
+           WHEN 1 THEN 'https://site' || p || '.example.com/page/' || p
+                       || '?id=' || p
+           WHEN 2 THEN 'http://site' || p || '.example.com:80/page/' || p
+                       || '/?id=' || p || '&utm_campaign=x'
+           ELSE 'https://site' || p || '.example.com/page/' || p
+                || '?ref=home&id=' || p
+         END AS url
+  FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS p FROM documents) d),
+c AS (
+  SELECT doc_id,
+         'https://'
+         || regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                           ':(80|443)$', '')
+         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                           '/+$', '')
+         || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM (
+    SELECT doc_id, url,
+           array_to_string(list_sort(list_filter(
+             str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             x -> x != '' AND NOT starts_with(x, 'utm_'))), '&') AS kept
+    FROM t) q)
+SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM c GROUP BY canon_url
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -4151,6 +4458,9 @@ QUERIES = {
     "q57_value_percentiles": q57_value_percentiles,
     "q58_incremental_dedup": q58_incremental_dedup,
     "q59_histogram_quantiles": q59_histogram_quantiles,
+    "q60_bm25_topk": q60_bm25_topk,
+    "q61_pmi_collocations": q61_pmi_collocations,
+    "q62_url_canonical_dedup": q62_url_canonical_dedup,
 }
 
 ORACLES = {
@@ -4213,4 +4523,7 @@ ORACLES = {
     "q57_value_percentiles": Q57_SQL,
     "q58_incremental_dedup": Q58_SQL,
     "q59_histogram_quantiles": Q59_SQL,
+    "q60_bm25_topk": Q60_SQL,
+    "q61_pmi_collocations": Q61_SQL,
+    "q62_url_canonical_dedup": Q62_SQL,
 }

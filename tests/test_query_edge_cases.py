@@ -187,3 +187,82 @@ def test_q59_brackets_q57_exact_percentiles(spark):
             assert hist[et][f"p{p}_bin"] == math.floor(exact[et][f"p{p}"]), (
                 et, p, hist[et][f"p{p}_bin"], exact[et][f"p{p}"],
             )
+
+
+def test_q60_bm25_integer_scores_by_hand(spark, tmp_path):
+    """Okapi arithmetic pinned end-to-end on a 3-doc corpus: for the q1
+    term 'join' (df=2, idf_pct=(100*3) div 2=150, AV=12, ND=3) the fixed
+    k1=6/5, b=3/4 formula gives floor scores 235714 (tf=3) and 150000
+    (tf=1); the no-hit queries 2/3 must produce NO rows, not zero rows."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "join join join filler",
+                "join filler filler filler",
+                "filler filler filler filler",
+            ],
+            "lang": ["en"] * 3,
+            "n_chars": [22, 25, 27],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q60_bm25_topk
+
+    rows = sorted(
+        tuple(r) for r in q60_bm25_topk(spark, str(tmp_path)).collect()
+    )
+    assert rows == [
+        (1, 0, 235714, 1, 1),
+        (1, 1, 150000, 1, 2),
+    ], rows
+
+
+def test_q61_pmi_survives_one_token_doc_and_scores_exactly(spark, tmp_path):
+    """The bigram projection is CASE-guarded against Spark 4's descending
+    sequence() on 1-token docs (same ANSI trap as q27); and the integer
+    PMI score is pinned by hand: T=11, B=9, c_xy=5, c_x=c_y=5 →
+    (10^6*5*11*11) div (9*5*5) = 2688888."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["solo", "x y x y x y x y x y"],
+            "lang": ["en"] * 2,
+            "n_chars": [4, 19],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q61_pmi_collocations
+
+    rows = [tuple(r) for r in q61_pmi_collocations(spark, str(tmp_path)).collect()]
+    assert rows == [("x", "y", 5, 5, 5, 2688888, 1)], rows
+
+
+def test_q62_url_canonical_variants(spark, tmp_path):
+    """The four messy variants per target must collapse 3+1: mixed-case
+    host/scheme + :443 + utm + #fragment, the already-clean form, and the
+    http://...:80/...// + utm form all canonicalize identically (scheme
+    folded to https, default port and trailing slash stripped, utm_*
+    dropped); the ref=home variant must NOT collapse with them and its
+    query params come back sorted."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": ["t"] * 8,
+            "lang": ["en"] * 8,
+            "n_chars": [1] * 8,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q62_url_canonical_dedup
+
+    out = {
+        r["canon_url"]: (r["n_docs"], r["keeper"])
+        for r in q62_url_canonical_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "https://site0.example.com/page/0?id=0": (3, 0),
+        "https://site0.example.com/page/0?id=0&ref=home": (1, 3),
+        "https://site1.example.com/page/1?id=1": (3, 4),
+        "https://site1.example.com/page/1?id=1&ref=home": (1, 7),
+    }, out
