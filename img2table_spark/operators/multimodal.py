@@ -3,13 +3,16 @@
 Training-data pipelines carry image/audio/video as ``binary`` columns.
 Images decode for real through the full codec matrix
 (kernels/image_doc.decode_image_bytes: PNG/JPEG/BMP/TIFF incl. CCITT/WebP/
-PNM/HDR/EXR), and RIFF/WAVE audio decodes for real too (kernels/wav.py:
-PCM 8/16/24/32 + IEEE float → duration/rate plus an 11-float RMS/ZCR/
-spectral-band feature vector). Only non-WAV audio (mp3/ogg/aac) and video
-need codec libraries this environment lacks; those stay STUBBED behind a
-deterministic fake (`fake_features=True`, default in tests) or
-`NotImplementedError` — the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested either way.
+PNM/HDR/EXR), RIFF/WAVE audio decodes for real (kernels/wav.py: PCM
+8/16/24/32 + IEEE float → duration/rate plus an 11-float RMS/ZCR/
+spectral-band feature vector), and RIFF/AVI uncompressed BI_RGB video
+decodes for real too (kernels/avi.py: frames/fps/duration plus sampled
+per-frame luma features). Only compressed audio (mp3/ogg/aac) and
+compressed video (MJPG/H.264/...) need codec libraries this environment
+lacks; those stay STUBBED behind a deterministic fake
+(`fake_features=True`, default in tests) or `NotImplementedError` — the
+Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested either way.
 Perceptual near-dup detection (dHash + banded Hamming LSH) runs entirely
 on the real image path — the image twin of the SimHash text operator.
 """
@@ -62,6 +65,8 @@ def _sniff_mime(payload: bytes) -> str:
     if payload[:4] == b"RIFF":
         if payload[8:12] == b"WAVE":
             return "audio/wav"
+        if payload[8:12] == b"AVI ":
+            return "video/x-msvideo"
         return "image/webp"
     for magic, mime in _MAGIC_MIME:
         if payload[: len(magic)] == magic:
@@ -101,8 +106,19 @@ def _decode_one(payload: bytes, kind: str, fake_features: bool) -> dict:
         out["duration_ms"] = int(round(len(samples) * 1000 / rate))
         out["features"] = wav_features(rate, samples)
         return out
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # REAL decode: uncompressed BI_RGB AVI needs no codec library
+        # (kernels/avi.py); compressed fourccs raise AVIError → error row.
+        from img2table_spark.kernels.avi import decode_avi, video_features
+
+        v = decode_avi(payload)
+        out["mime"] = "video/x-msvideo"
+        out["width"], out["height"] = v.width, v.height
+        out["duration_ms"] = int(v.frames.shape[0] * 1000 * v.scale // v.rate)
+        out["features"] = video_features(v)
+        return out
     if kind in ("audio", "video"):
-        # STUB: non-WAV audio and all video need codec libraries this
+        # STUB: compressed audio/video needs codec libraries this
         # container lacks — deterministic fake keeps the batch shape and
         # downstream schema real for tests; a real kernel (ffmpeg/soundfile)
         # slots in here unchanged.

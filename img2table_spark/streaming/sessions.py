@@ -135,7 +135,10 @@ def stream_image_dedup(
     within the watermark horizon. Images → dHash (any supported codec);
     RIFF/WAVE audio → 12-bit-quantized content hash
     (kernels/wav.audio_fingerprint), so audio rows flow through the same
-    dedup stream (r3 verdict #5). Hash EQUALITY collapses lossless image
+    dedup stream (r3 verdict #5); RIFF/AVI uncompressed video → decoded
+    RGB-frame content hash (kernels/avi.video_fingerprint), which collapses
+    container rewrites and 24↔32-bit BI_RGB re-encodes the same way the
+    audio path collapses depth widening. Hash EQUALITY collapses lossless image
     re-encodes (PNG↔BMP↔TIFF↔EXR hash identically — pinned in tests; HDR
     is ±1 from the shared RGBE exponent, so a natural-image HDR re-encode
     can flip gradient-sign bits near ties and is only *typically*
@@ -154,6 +157,7 @@ def stream_image_dedup(
     )
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from img2table_spark.kernels.avi import video_fingerprint
         from img2table_spark.kernels.image_doc import decode_image_bytes
         from img2table_spark.kernels.phash import dhash64
         from img2table_spark.kernels.wav import audio_fingerprint
@@ -165,6 +169,8 @@ def stream_image_dedup(
                     b = bytes(payload)
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         hashes.append(audio_fingerprint(b))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        hashes.append(video_fingerprint(b))
                     else:
                         v = dhash64(decode_image_bytes(b))
                         hashes.append(v - (1 << 64) if v >= (1 << 63) else v)

@@ -187,3 +187,42 @@ def test_stream_sessionize_file_sink_bounded_batches(spark, tmp_path):
     for c in range(2):
         assert (f"c{c}", 4, 0, 3) in got, got
         assert (f"c{c}", 3, 10, 12) in got, got
+
+
+def test_stream_media_dedup_accepts_video_rows(spark, tmp_path):
+    """AVI payloads flow through the same dedup stream as images and audio:
+    pixel-preserving re-encodes (32-bit BI_RGB rewrite of a 24-bit source)
+    collapse via kernels/avi.video_fingerprint, distinct videos survive,
+    compressed video yields a null hash (filtered, not fatal)."""
+    import struct
+
+    import numpy as np
+
+    from img2table_spark.kernels.avi import encode_avi
+    from img2table_spark.streaming.sessions import stream_image_dedup
+
+    base = dt.datetime(2026, 1, 1)
+    rng = np.random.default_rng(11)
+    clip_a = rng.integers(0, 256, size=(4, 6, 8, 3), dtype=np.uint8)
+    clip_b = rng.integers(0, 256, size=(4, 6, 8, 3), dtype=np.uint8)
+    src = encode_avi(clip_a, rate=10)
+    rewrapped = encode_avi(clip_a, rate=10, bitcount=32, with_idx1=False)
+    compressed = bytearray(encode_avi(clip_a, rate=10))
+    i = compressed.index(b"strf")
+    struct.pack_into("<4s", compressed, i + 8 + 16, b"MJPG")
+
+    rows = [
+        (0, base, bytearray(src)),
+        (1, base + dt.timedelta(minutes=1), bytearray(rewrapped)),   # dup of 0
+        (2, base + dt.timedelta(minutes=2), bytearray(encode_avi(clip_b, rate=10))),
+        (3, base + dt.timedelta(minutes=3), bytearray(bytes(compressed))),  # null hash
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ts timestamp, payload binary")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("vin", "vout", "vckpt"))
+    df.write.parquet(inp)
+    q = stream_image_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    ids = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert len(ids & {0, 1}) == 1  # pixel-preserving rewrite collapsed
+    assert 2 in ids                # distinct clip survives
+    assert 3 not in ids            # compressed AVI -> null hash, filtered
