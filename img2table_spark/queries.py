@@ -4398,6 +4398,278 @@ FROM c GROUP BY canon_url
 """
 
 
+# --------------------------------------------------------------------------
+# q63 — C4-style line-level corpus dedup: every repeated line (fixed
+# 5-token segment here — the corpus has no newlines) is dropped EXCEPT its
+# globally first occurrence, ordered by (doc_id, position); the surviving
+# lines are reassembled in document order and the rebuilt text is hashed.
+# This is the op that actually REMOVES boilerplate (q34 only flags it).
+# Scale shape: explode → ONE shuffle on the line hash claiming the
+# first-occurrence key (min over an encoded (doc_id, seg) bigint — a plain
+# min agg, map-side combinable, so a line shared by 10⁹ docs still reduces
+# to one row), a 1:1 join back on the same hash key (no fan-out: the claim
+# table has one row per hash), and one shuffle on doc_id for the ordered
+# rebuild. No windows over the corpus, no sort of the full data.
+# --------------------------------------------------------------------------
+
+_LINE_W = 5
+_SEG_SHIFT = 1048576  # seg_idx < 2^20 (docs are bounded); key = doc_id·2^20 + seg
+
+
+def q63_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _LINE_W
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) div {_LINE_W} - 1),"
+                f" i -> array_join(slice(t, i * {_LINE_W} + 1, {_LINE_W}), ' '))"
+            )
+        ).alias("seg", "line"),
+    ).select(
+        "doc_id",
+        "seg",
+        "line",
+        F.md5("line").alias("h"),
+        F.expr(f"doc_id * {_SEG_SHIFT} + seg").alias("key"),
+    )
+    first = segs.groupBy("h").agg(F.min("key").alias("keep_key"))
+    marked = segs.join(first, "h").withColumn(
+        "kept", (F.col("key") == F.col("keep_key")).cast("long")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("kept").alias("n_kept"),
+        F.md5(
+            F.expr(
+                "array_join(transform(filter(array_sort("
+                "collect_list(struct(seg, line, kept))), x -> x.kept = 1),"
+                " x -> x.line), ' ')"
+            )
+        ).alias("text_md5"),
+    )
+
+
+Q63_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= {_LINE_W}
+),
+segs AS (
+  SELECT doc_id, i AS seg,
+         array_to_string(t[i * {_LINE_W} + 1 : i * {_LINE_W} + {_LINE_W}], ' ') AS line,
+         doc_id * {_SEG_SHIFT} + i AS key
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) // {_LINE_W} - 1)) AS i) g
+),
+first AS (SELECT md5(line) AS h, MIN(key) AS keep_key FROM segs GROUP BY md5(line)),
+marked AS (
+  SELECT s.doc_id, s.seg, s.line,
+         CASE WHEN s.key = f.keep_key THEN 1 ELSE 0 END AS kept
+  FROM segs s JOIN first f ON md5(s.line) = f.h)
+SELECT doc_id, COUNT(*) AS n_lines, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN kept = 1 THEN line END, ' ' ORDER BY seg),
+                    '')) AS text_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q64 — bigram-LM quality score with add-one (Laplace) smoothing, the
+# KenLM-shaped upgrade of q35's unigram filter: corpus bigram counts
+# c(w₁w₂) and context counts c(w₁), vocabulary size V, per-bigram smoothed
+# probability in ppm = (10⁶·(c(w₁w₂)+1)) div (c(w₁)+V) — log-free integer
+# floor-division so both engines agree bit-for-bit; the doc score is the
+# mean bigram ppm (what a perplexity filter ORDERS by). Vocabulary and
+# counts are defined over bigram-eligible docs (≥ 2 tokens). Scale shape:
+# both count tables are agg outputs (Zipf-bounded ≪ corpus) joined
+# small-to-small then BROADCAST back onto the bigram stream — hot bigrams
+# are agg keys and a broadcast probe, never a shuffled join key; at
+# 10¹²-token scale the 10⁶·cnt product moves to decimal(38,0) per the
+# repo's ANSI overflow rule (long is exact at gate scale).
+# --------------------------------------------------------------------------
+
+
+def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] as w1, concat(t[i], ' ', t[i+1]) as bg))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    vocab_n = (
+        toks.select(F.explode("t").alias("tok")).select("tok").distinct().count()
+    )  # driver-side scalar, one number
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    prob = (
+        c12.withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .join(c1, "w1")
+        .select(
+            "bg",
+            F.expr(f"(1000000 * (c12 + 1)) div (c1 + {vocab_n})").alias("p_ppm"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(prob), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bi"), F.sum("p_ppm").alias("sum_ppm"))
+        .select("doc_id", "n_bi", F.expr("sum_ppm div n_bi").alias("bigram_ppm"))
+    )
+
+
+Q64_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 1] || ' ' || t[i + 2] AS bg
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) g
+),
+v AS (SELECT COUNT(DISTINCT tok) AS vn
+      FROM (SELECT unnest(t) AS tok FROM toks) q),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+prob AS (
+  SELECT c12.bg, (1000000 * (c12.c12 + 1)) // (c1.c1 + v.vn) AS p_ppm
+  FROM c12 JOIN c1 ON str_split(c12.bg, ' ')[1] = c1.w1, v)
+SELECT doc_id, COUNT(*) AS n_bi,
+       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS bigram_ppm
+FROM bg JOIN prob USING (bg)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q65 — Gini concentration of token mass across sources: the corpus-audit
+# op that answers "is my training mix dominated by one crawl domain?".
+# Per-source token totals (a plain groupBy — sources are few), then the
+# exact rank-formula Gini
+#   G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx),  x sorted ascending, i = 1..n
+# scaled to ppm with integer floor-division (ties broken by source name so
+# the rank is deterministic). Scale shape: ONE map-side-combinable shuffle
+# on source; the window and final fold run on the n_sources-row agg output
+# (the single-partition window is over a handful of rows by construction).
+# --------------------------------------------------------------------------
+
+
+def q65_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    w = Window.orderBy("toks", "source")
+    ranked = src.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy().agg(
+        F.count("*").alias("n_sources"),
+        F.sum("toks").alias("total_toks"),
+        F.expr(
+            "(1000000 * (2 * sum(rn * toks) - (count(*) + 1) * sum(toks)))"
+            " div (count(*) * sum(toks))"
+        ).alias("gini_ppm"),
+    )
+
+
+Q65_SQL = """
+WITH src AS (
+  SELECT source, SUM(len(str_split(text, ' '))) AS toks
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, toks, row_number() OVER (ORDER BY toks, source) AS rn FROM src)
+SELECT COUNT(*) AS n_sources, CAST(SUM(toks) AS BIGINT) AS total_toks,
+       CAST((1000000 * (2 * SUM(rn * toks) - (COUNT(*) + 1) * SUM(toks)))
+            // (COUNT(*) * SUM(toks)) AS BIGINT) AS gini_ppm
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# q66 — train/val/test split hygiene: assign every doc a deterministic
+# split via the q21 md5 gate (8/1/1), then AUDIT the split for near-dup
+# leakage — MinHash-LSH candidate pairs (the q08 band index, reused) whose
+# two docs landed in different splits, rolled up per (split_lo, split_hi).
+# A leaked val/test twin of a train doc silently inflates eval numbers;
+# this is the check a curation pipeline runs before shipping a split.
+# Scale shape: the band self-join is the q08 bucketed shape (pairs only
+# within a band bucket, never all-pairs), the split gate is a 0-shuffle
+# per-row expression, and the rollup output is ≤ 9 rows.
+# --------------------------------------------------------------------------
+
+
+def q66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands(_shingles(spark, sf_dir))
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    split = (
+        F.when(gate < 8, F.lit("train"))
+        .when(gate < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = bands.withColumn("split", split)
+    a = tagged.select(
+        "band", "sig", F.col("doc_id").alias("lo"), F.col("split").alias("split_lo")
+    )
+    b = tagged.select(
+        "band", "sig", F.col("doc_id").alias("hi"), F.col("split").alias("split_hi")
+    )
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("lo") < F.col("hi"))
+        .select("lo", "hi", "split_lo", "split_hi")
+        .distinct()
+    )
+    return (
+        pairs.filter(F.col("split_lo") != F.col("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("lo").alias("n_docs_lo"),
+            F.count_distinct("hi").alias("n_docs_hi"),
+        )
+    )
+
+
+Q66_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+{_MH_SQL_CTES},
+tagged AS (
+  SELECT doc_id, band, sig,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 10 < 8 THEN 'train'
+              WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM bands),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi,
+                  a.split AS split_lo, b.split AS split_hi
+  FROM tagged a JOIN tagged b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id)
+SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT lo) AS n_docs_lo, COUNT(DISTINCT hi) AS n_docs_hi
+FROM pairs WHERE split_lo != split_hi
+GROUP BY split_lo, split_hi
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -4461,6 +4733,10 @@ QUERIES = {
     "q60_bm25_topk": q60_bm25_topk,
     "q61_pmi_collocations": q61_pmi_collocations,
     "q62_url_canonical_dedup": q62_url_canonical_dedup,
+    "q63_line_dedup": q63_line_dedup,
+    "q64_bigram_lm_score": q64_bigram_lm_score,
+    "q65_source_gini": q65_source_gini,
+    "q66_split_leakage": q66_split_leakage,
 }
 
 ORACLES = {
@@ -4526,4 +4802,8 @@ ORACLES = {
     "q60_bm25_topk": Q60_SQL,
     "q61_pmi_collocations": Q61_SQL,
     "q62_url_canonical_dedup": Q62_SQL,
+    "q63_line_dedup": Q63_SQL,
+    "q64_bigram_lm_score": Q64_SQL,
+    "q65_source_gini": Q65_SQL,
+    "q66_split_leakage": Q66_SQL,
 }

@@ -266,3 +266,135 @@ def test_q62_url_canonical_variants(spark, tmp_path):
         "https://site1.example.com/page/1?id=1": (3, 4),
         "https://site1.example.com/page/1?id=1&ref=home": (1, 7),
     }, out
+
+
+def test_q63_line_dedup_first_occurrence_wins(spark, tmp_path):
+    """C4-style line dedup keeps exactly the globally FIRST instance of a
+    repeated 5-token line — earliest doc_id, then earliest position, and a
+    within-doc repeat loses to its own doc's first instance. Rebuilt text
+    is the kept lines in document order (hash pinned against a Python
+    recompute); a fully-deduped doc reports md5('')."""
+    import hashlib
+
+    A = "a b c d e"  # appears in doc 0 (twice), doc 1, doc 2
+    B = "p q r s t"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [f"{A} {A}", f"{B} {A}", A],
+            "lang": ["en"] * 3,
+            "n_chars": [21, 21, 9],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q63_line_dedup
+
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_md5"])
+        for r in q63_line_dedup(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 0: first A kept, second (same doc, later seg) dropped
+    assert out[0] == (2, 1, md5(A))
+    # doc 1: B is novel, its A lost to doc 0
+    assert out[1] == (2, 1, md5(B))
+    # doc 2: everything deduped away -> empty rebuild
+    assert out[2] == (1, 0, md5(""))
+
+
+def test_q64_bigram_lm_hand_arithmetic(spark, tmp_path):
+    """Add-one smoothing on a 2-doc corpus, checked by hand: vocabulary
+    V={a,b,c}=3; bigrams: 'a b'x2, 'b a'x1, 'a c'x1; c(a)=3, c(b)=1.
+    p_ppm('a b') = 10^6*(2+1) div (3+3) = 500000;
+    p_ppm('b a') = 10^6*2 div 4 = 500000;
+    p_ppm('a c') = 10^6*2 div 6 = 333333.
+    Doc 10 = [a b a b] -> bigrams ab,ba,ab -> mean 500000;
+    doc 11 = [a c] -> 333333. A 1-token doc is dropped without ANSI
+    sequence() underflow (the CASE-free filter-first guard)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": ["a b a b", "a c", "solo"],
+            "lang": ["en"] * 3,
+            "n_chars": [7, 3, 4],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q64_bigram_lm_score
+
+    out = {
+        r["doc_id"]: (r["n_bi"], r["bigram_ppm"])
+        for r in q64_bigram_lm_score(spark, str(tmp_path)).collect()
+    }
+    assert out == {10: (3, 500000), 11: (1, 333333)}, out
+
+
+def test_q65_gini_extremes(spark, tmp_path):
+    """Rank-formula Gini: perfectly equal source masses -> 0 ppm; a
+    two-source 1-vs-9 split -> G = (2*(1*1+2*9) - 3*10) / (2*10) = 0.4
+    exactly (400000 ppm)."""
+    from img2table_spark.queries import q65_source_gini
+
+    eq = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c", "d e f"],
+            "lang": ["en"] * 2,
+            "source": ["s1", "s2"],
+            "n_chars": [5, 5],
+        }
+    )
+    spark.createDataFrame(eq).write.parquet(str(tmp_path / "eq" / "documents.parquet"))
+    row = q65_source_gini(spark, str(tmp_path / "eq")).collect()[0]
+    assert (row["n_sources"], row["total_toks"], row["gini_ppm"]) == (2, 6, 0)
+
+    skew = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a", "b " * 8 + "b"],
+            "lang": ["en"] * 2,
+            "source": ["tiny", "big"],
+            "n_chars": [1, 17],
+        }
+    )
+    spark.createDataFrame(skew).write.parquet(
+        str(tmp_path / "sk" / "documents.parquet")
+    )
+    row = q65_source_gini(spark, str(tmp_path / "sk")).collect()[0]
+    assert (row["n_sources"], row["total_toks"], row["gini_ppm"]) == (2, 10, 400000)
+
+
+def test_q66_split_leakage_cross_split_only(spark, tmp_path):
+    """Two near-identical docs forced into different md5 splits must show
+    up as exactly one cross-split pair; two near-identical docs in the
+    SAME split must not appear. Split assignment is pinned to the q21 md5
+    gate so the test picks ids by computing the gate in Python."""
+    import hashlib
+
+    def gate(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 10
+
+    train = [i for i in range(200) if gate(i) < 8]
+    test = [i for i in range(200) if gate(i) == 9]
+    base = "w" + " x y z".join(str(k) for k in range(12))  # >=3 tokens, shared
+    near = base + " tail"
+    pdf = pd.DataFrame(
+        {
+            # leak pair: one train doc + one test doc sharing all shingles;
+            # control pair: two train docs sharing all shingles
+            "doc_id": [train[0], test[0], train[1], train[2]],
+            "text": [base, near, base + " t2", base + " t3"],
+            "lang": ["en"] * 4,
+            "n_chars": [len(base)] * 4,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q66_split_leakage
+
+    rows = [tuple(r) for r in q66_split_leakage(spark, str(tmp_path)).collect()]
+    lo, hi = sorted((train[0], test[0]))
+    want_lo = "train" if lo in train else "test"
+    want_hi = "test" if want_lo == "train" else "train"
+    # only the cross-split pairs survive; the train/train control pair is gone
+    assert all(r[0] != r[1] for r in rows)
+    assert any(r[:2] == (want_lo, want_hi) for r in rows), rows
