@@ -111,11 +111,22 @@ def extract_tables(
     num_partitions: int | None = None,
     turn_bucket: int = 8,
     emit_errors: bool = False,
+    balance: bool = False,
 ) -> DataFrame:
     """Transcript DataFrame → one row per extracted table (EXTRACTED_SCHEMA).
 
     Column pruning is explicit: only (conv_id, turn_idx, text, tool) reach the
     scan, so the parquet reader never materializes unused columns.
+
+    ``balance=True`` swaps the hash salt for ROUND-ROBIN repartitioning —
+    still exactly one exchange, but rows spread uniformly instead of by
+    hash bucket. Use it for small / heavy-tailed batch corpora where two
+    expensive payloads hash-colliding into one task sets the wall clock
+    (measured: q14's 9.6 s + 6.9 s PDFs landed in one partition of 64).
+    The hash salt stays the default for 10^12-turn runs: placement is
+    deterministic with no pre-shuffle local sort (round-robin pays
+    sortBeforeRepartition on every input partition), and at millions of
+    rows per partition the law of large numbers balances payload cost.
     """
     slim = df.select("conv_id", "turn_idx", "text", "tool")
     if salt:
@@ -124,7 +135,10 @@ def extract_tables(
             # A bare repartition(col) would let AQE coalesce the (byte-small,
             # CPU-heavy) exchange down to one partition and serialize the UDF.
             num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-        slim = slim.repartition(num_partitions, with_salt(slim, turn_bucket))
+        if balance:
+            slim = slim.repartition(num_partitions)
+        else:
+            slim = slim.repartition(num_partitions, with_salt(slim, turn_bucket))
     return slim.mapInPandas(_make_batch_extract(emit_errors), EXTRACTED_SCHEMA)
 
 

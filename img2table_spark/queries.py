@@ -1420,7 +1420,9 @@ def q14_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     from img2table_spark.operators.extract import extract_cells_flat
 
-    return extract_cells_flat(df, salt=True)
+    # balance=True: 30 payloads with a 12 s head — round-robin placement
+    # keeps the wall at the max single payload instead of a collided sum.
+    return extract_cells_flat(df, salt=True, balance=True)
 
 
 @_functools.lru_cache(maxsize=1)
@@ -4670,6 +4672,163 @@ GROUP BY split_lo, split_hi
 """
 
 
+# --------------------------------------------------------------------------
+# q67 — training-block construction: concatenate the corpus token stream in
+# doc_id order and slice it into fixed 128-token blocks (the GPT-style
+# pre-training layout; q41 packs whole docs into bins, q67 SPLITS the
+# stream so blocks cross doc boundaries). The global offset of every doc
+# is a prefix sum — computed the DISTRIBUTED way: docs bucket by
+# doc_id div 64, per-bucket token sums (a tiny table) get cumulative
+# offsets via one window over that tiny table, offsets broadcast back, and
+# the within-bucket prefix runs partitioned by bucket — NO single-partition
+# global window, no global sort, ever (the naive SUM OVER (ORDER BY
+# doc_id) collapses 100 TB onto one task; this two-level shape is how a
+# prefix sum actually scales). Each doc then explodes over the ≤ n/128+1
+# blocks it spans (linear fan-out) and blocks aggregate.
+# --------------------------------------------------------------------------
+
+_BLK_TOK = 128
+_BLK_BUCKET = 64
+
+
+def q67_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_BLK_BUCKET}").alias("bkt"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 1)
+    bsum = n.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.withColumn("boff", F.coalesce(F.sum("bn").over(wb), F.lit(0))).select(
+        "bkt", "boff"
+    )
+    wd = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        n.join(F.broadcast(boff), "bkt")
+        .withColumn("poff", F.coalesce(F.sum("n").over(wd), F.lit(0)))
+        .select("doc_id", "n", F.expr("boff + poff").alias("off"))
+    )
+    spans = off.select(
+        "doc_id",
+        "n",
+        "off",
+        F.explode(
+            F.expr(f"sequence(off div {_BLK_TOK}, (off + n - 1) div {_BLK_TOK})")
+        ).alias("block_id"),
+    )
+    return spans.groupBy("block_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(
+            F.expr(
+                f"least(off + n, (block_id + 1) * {_BLK_TOK})"
+                f" - greatest(off, block_id * {_BLK_TOK})"
+            )
+        ).alias("n_toks"),
+    )
+
+
+Q67_SQL = f"""
+WITH n AS (
+  SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents
+  WHERE len(str_split(text, ' ')) >= 1),
+off AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM n),
+spans AS (
+  SELECT doc_id, n, off, b AS block_id
+  FROM off, LATERAL (SELECT unnest(generate_series(
+         CAST(off // {_BLK_TOK} AS BIGINT),
+         CAST((off + n - 1) // {_BLK_TOK} AS BIGINT))) AS b) g)
+SELECT block_id, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST(SUM(least(off + n, (block_id + 1) * {_BLK_TOK})
+                - greatest(off, block_id * {_BLK_TOK})) AS BIGINT) AS n_toks
+FROM spans GROUP BY block_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q68 — DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# via Importance Resampling"): score every raw doc by how target-like its
+# hashed n-gram features are. Features are unigrams hashed into 256
+# buckets; the target distribution comes from the en-language subset, the
+# raw distribution from the whole corpus; each bucket gets an add-one
+# smoothed integer ratio
+#   ratio_ppm = (10⁶·(cₜ+1)·(R+256)) div ((c_r+1)·(T+256))
+# (> 10⁶ ⇔ the feature is target-enriched) and a doc's weight is the mean
+# ratio over its tokens — log-free floor-division so both engines agree
+# bit-for-bit; products run in decimal(38,0) ≡ HUGEINT (they overflow
+# int64 at corpus scale). Scale shape: BOTH distributions are 256-row agg
+# outputs (fixed size at any corpus) joined then broadcast back onto the
+# token stream; totals ride the same 256-row table as sums — no driver
+# scalars, no second corpus scan, no hot join keys.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256
+
+
+def q68_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).withColumn(
+        "bkt",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long") % _DSIR_B,
+    )
+    dist = toks.groupBy("bkt").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+    )
+    ratio = dist.select(
+        "bkt",
+        F.expr(
+            f"cast(cast(1000000 as decimal(38,0)) * (ct + 1)"
+            f" * (sum(cr) over () + {_DSIR_B})"
+            f" div ((cr + 1) * (sum(ct) over () + {_DSIR_B})) as bigint)"
+        ).alias("ratio_ppm"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("ratio_ppm").alias("s"))
+        .select("doc_id", "n_tok", F.expr("s div n_tok").alias("dsir_ppm"))
+    )
+
+
+Q68_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(tok), 1, 4))::BIGINT % {_DSIR_B} AS bkt
+  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+        FROM documents) q),
+dist AS (
+  SELECT bkt, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM toks GROUP BY bkt),
+ratio AS (
+  SELECT bkt,
+         CAST(CAST(1000000 AS HUGEINT) * (ct + 1)
+              * (SUM(cr) OVER () + {_DSIR_B})
+              // ((cr + 1) * (SUM(ct) OVER () + {_DSIR_B})) AS BIGINT)
+           AS ratio_ppm
+  FROM dist)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+FROM toks JOIN ratio USING (bkt)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -4737,6 +4896,8 @@ QUERIES = {
     "q64_bigram_lm_score": q64_bigram_lm_score,
     "q65_source_gini": q65_source_gini,
     "q66_split_leakage": q66_split_leakage,
+    "q67_token_blocks": q67_token_blocks,
+    "q68_dsir_weights": q68_dsir_weights,
 }
 
 ORACLES = {
@@ -4806,4 +4967,6 @@ ORACLES = {
     "q64_bigram_lm_score": Q64_SQL,
     "q65_source_gini": Q65_SQL,
     "q66_split_leakage": Q66_SQL,
+    "q67_token_blocks": Q67_SQL,
+    "q68_dsir_weights": Q68_SQL,
 }

@@ -398,3 +398,67 @@ def test_q66_split_leakage_cross_split_only(spark, tmp_path):
     # only the cross-split pairs survive; the train/train control pair is gone
     assert all(r[0] != r[1] for r in rows)
     assert any(r[:2] == (want_lo, want_hi) for r in rows), rows
+
+
+def test_q67_blocks_cross_doc_boundaries(spark, tmp_path):
+    """Two-level prefix sum: doc offsets must equal the naive global
+    running total even when docs straddle the bucket boundary (doc_id 63 |
+    64), and a block spanning two docs reports both. 3 docs of 100 tokens:
+    offsets 0/100/200; 128-token blocks -> block 0 holds docs {0,63},
+    block 1 holds {63,64}, block 2 holds {64} (300 toks = blocks 0,1 full
+    + block 2 with 44)."""
+    mk = lambda: " ".join(f"w{i}" for i in range(100))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 63, 64],  # 64 lands in the second 64-doc bucket
+            "text": [mk(), mk(), mk()],
+            "lang": ["en"] * 3,
+            "n_chars": [len(mk())] * 3,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q67_token_blocks
+
+    out = {
+        r["block_id"]: (r["n_docs"], r["first_doc"], r["last_doc"], r["n_toks"])
+        for r in q67_token_blocks(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        0: (2, 0, 63, 128),
+        1: (2, 63, 64, 128),
+        2: (1, 64, 64, 44),
+    }, out
+
+
+def test_q68_dsir_target_enrichment(spark, tmp_path):
+    """A token that only the en (target) subset uses must score its docs
+    above 10^6 ppm (target-enriched), a token only the non-target subset
+    uses scores below, and every ratio matches a hand recompute of the
+    add-one smoothed integer formula."""
+    import hashlib
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["enword enword enword", "deword deword deword"],
+            "lang": ["en", "de"],
+            "n_chars": [20, 20],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q68_dsir_weights
+
+    out = {
+        r["doc_id"]: r["dsir_ppm"]
+        for r in q68_dsir_weights(spark, str(tmp_path)).collect()
+    }
+    # hand recompute (buckets don't collide for these two tokens unless
+    # md5 prefixes agree mod 256 — then both docs score 10^6 and the
+    # strict inequality below would fail loudly)
+    b_en = int(hashlib.md5(b"enword").hexdigest()[:4], 16) % 256
+    b_de = int(hashlib.md5(b"deword").hexdigest()[:4], 16) % 256
+    assert b_en != b_de
+    R, T = 6, 3
+    ratio = lambda ct, cr: (10**6 * (ct + 1) * (R + 256)) // ((cr + 1) * (T + 256))
+    assert out == {0: ratio(3, 3), 1: ratio(0, 3)}, out
+    assert out[0] > 10**6 > out[1]
