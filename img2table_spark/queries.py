@@ -4852,6 +4852,154 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q69 — packed-sequence loss-mask density over TRANSCRIPTS (the axes-A+B
+# op): concatenate the turn stream in (conv_id, turn_idx) order — which is
+# doc_id order by construction — slice into q67's fixed 128-token training
+# blocks, and report each block's assistant-token mass, i.e. the fraction
+# of the block a supervised-fine-tune loss would actually train on (blocks
+# with ~0 assistant mass are what packing pipelines drop). Same
+# DISTRIBUTED two-level prefix sum as q67 (bucket sums → tiny-table window
+# → broadcast offsets + within-bucket window); per-turn block overlap is
+# the same bounded explode. Integer loss_ppm = 10⁶·a_toks div n_toks.
+# --------------------------------------------------------------------------
+
+
+def q69_block_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_BLK_BUCKET}").alias("bkt"),
+        F.size(F.split("text", " ")).alias("n"),
+        F.expr(_TR_ROLE).alias("role"),
+    ).filter(F.col("n") >= 1)
+    bsum = n.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.withColumn("boff", F.coalesce(F.sum("bn").over(wb), F.lit(0))).select(
+        "bkt", "boff"
+    )
+    wd = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        n.join(F.broadcast(boff), "bkt")
+        .withColumn("poff", F.coalesce(F.sum("n").over(wd), F.lit(0)))
+        .select("doc_id", "n", "role", F.expr("boff + poff").alias("off"))
+    )
+    spans = off.select(
+        "role",
+        "off",
+        "n",
+        F.explode(
+            F.expr(f"sequence(off div {_BLK_TOK}, (off + n - 1) div {_BLK_TOK})")
+        ).alias("block_id"),
+    ).withColumn(
+        "ov",
+        F.expr(
+            f"least(off + n, (block_id + 1) * {_BLK_TOK})"
+            f" - greatest(off, block_id * {_BLK_TOK})"
+        ),
+    )
+    return spans.groupBy("block_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("ov").alias("n_toks"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("ov")).otherwise(0)).alias(
+            "a_toks"
+        ),
+        F.expr(
+            "(1000000 * sum(CASE WHEN role = 'assistant' THEN ov ELSE 0 END))"
+            " div sum(ov)"
+        ).alias("loss_ppm"),
+    )
+
+
+Q69_SQL = f"""
+WITH n AS (
+  SELECT doc_id, len(str_split(text, ' ')) AS n,
+         CASE (doc_id % 8) % 4 WHEN 0 THEN 'user' WHEN 2 THEN 'tool'
+              ELSE 'assistant' END AS role
+  FROM documents WHERE len(str_split(text, ' ')) >= 1),
+off AS (
+  SELECT doc_id, n, role,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM n),
+spans AS (
+  SELECT role, off, n, b AS block_id,
+         least(off + n, (b + 1) * {_BLK_TOK}) - greatest(off, b * {_BLK_TOK}) AS ov
+  FROM off, LATERAL (SELECT unnest(generate_series(
+         CAST(off // {_BLK_TOK} AS BIGINT),
+         CAST((off + n - 1) // {_BLK_TOK} AS BIGINT))) AS b) g)
+SELECT block_id, COUNT(*) AS n_turns,
+       CAST(SUM(ov) AS BIGINT) AS n_toks,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN ov ELSE 0 END) AS BIGINT) AS a_toks,
+       CAST((1000000 * SUM(CASE WHEN role = 'assistant' THEN ov ELSE 0 END))
+            // SUM(ov) AS BIGINT) AS loss_ppm
+FROM spans GROUP BY block_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q70 — deterministic epoch shuffle + shard manifest: every doc gets a
+# reshuffle-free pseudo-random epoch position — shard = md5(seed‖doc_id)
+# high bits mod 16, within-shard order = (md5 key, doc_id) — so any worker
+# can recompute any shard's exact read order with no coordination state
+# (the property an elastic/restartable training loader needs). The output
+# is the shard MANIFEST: doc count, token mass, and an order-SENSITIVE
+# checksum Σ rank·doc_id (two shards with the same docs in different
+# orders disagree). Scale shape: the within-shard sort IS the op — a
+# materialized epoch is written via repartitionByRange(shard, key) +
+# sortWithinPartitions (Spark's external range sort); n_shards scales with
+# the corpus so a shard stays executor-sized. The rank window here is the
+# gate-scale verification twin of that write path.
+# --------------------------------------------------------------------------
+
+_EPOCH_SEED = "ep1"
+_EPOCH_SHARDS = 16
+
+
+def q70_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n"),
+        F.md5(F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % _EPOCH_SHARDS,
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("sum_toks"),
+        F.sum(F.expr("rnk * doc_id")).alias("order_checksum"),
+        F.min("k").alias("first_key"),
+    )
+
+
+Q70_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, len(str_split(text, ' ')) AS n,
+         md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+sharded AS (
+  SELECT doc_id, n, k,
+         ('0x' || substring(k, 1, 4))::BIGINT % {_EPOCH_SHARDS} AS shard
+  FROM keyed),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rnk
+  FROM sharded)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_toks,
+       CAST(SUM(rnk * doc_id) AS BIGINT) AS order_checksum,
+       MIN(k) AS first_key
+FROM ranked GROUP BY shard
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -4921,6 +5069,8 @@ QUERIES = {
     "q66_split_leakage": q66_split_leakage,
     "q67_token_blocks": q67_token_blocks,
     "q68_dsir_weights": q68_dsir_weights,
+    "q69_block_loss_mask": q69_block_loss_mask,
+    "q70_epoch_shuffle": q70_epoch_shuffle,
 }
 
 ORACLES = {
@@ -4992,4 +5142,6 @@ ORACLES = {
     "q66_split_leakage": Q66_SQL,
     "q67_token_blocks": Q67_SQL,
     "q68_dsir_weights": Q68_SQL,
+    "q69_block_loss_mask": Q69_SQL,
+    "q70_epoch_shuffle": Q70_SQL,
 }

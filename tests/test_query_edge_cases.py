@@ -462,3 +462,71 @@ def test_q68_dsir_target_enrichment(spark, tmp_path):
     ratio = lambda ct, cr: (10**6 * (ct + 1) * (R + 256)) // ((cr + 1) * (T + 256))
     assert out == {0: ratio(3, 3), 1: ratio(0, 3)}, out
     assert out[0] > 10**6 > out[1]
+
+
+def test_q69_loss_mask_density(spark, tmp_path):
+    """Block loss-mask density hand-check: roles derive from doc_id
+    ((id%8)%4: 0=user, 2=tool, else assistant). Docs 0..2 of 100 tokens
+    give roles user/assistant/tool; 300 tokens -> blocks 0,1 full + block
+    2 (44 toks). Block 0 = 100 user + 28 assistant -> 218750 ppm; block 1
+    = 72 assistant + 56 tool -> 562500 ppm; block 2 = 44 tool -> 0."""
+    mk = lambda: " ".join(f"w{i}" for i in range(100))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [mk(), mk(), mk()],
+            "lang": ["en"] * 3,
+            "n_chars": [len(mk())] * 3,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q69_block_loss_mask
+
+    out = {
+        r["block_id"]: (r["n_turns"], r["n_toks"], r["a_toks"], r["loss_ppm"])
+        for r in q69_block_loss_mask(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        0: (2, 128, 28, 10**6 * 28 // 128),
+        1: (2, 128, 72, 562500),
+        2: (1, 44, 0, 0),
+    }, out
+
+
+def test_q70_epoch_order_checksum(spark, tmp_path):
+    """The shard manifest must match an independent Python recompute of
+    the md5 epoch order exactly — shard split, within-shard (key, doc_id)
+    rank, and the order-SENSITIVE checksum Σ rank·doc_id."""
+    import hashlib
+    from collections import defaultdict
+
+    ids = list(range(40))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": ["a b c"] * 40,
+            "lang": ["en"] * 40,
+            "n_chars": [5] * 40,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import _EPOCH_SEED, _EPOCH_SHARDS, q70_epoch_shuffle
+
+    shards = defaultdict(list)
+    for d in ids:
+        k = hashlib.md5((_EPOCH_SEED + str(d)).encode()).hexdigest()
+        shards[int(k[:4], 16) % _EPOCH_SHARDS].append((k, d))
+    want = {}
+    for s, lst in shards.items():
+        lst.sort()
+        want[s] = (
+            len(lst),
+            3 * len(lst),
+            sum((i + 1) * d for i, (k, d) in enumerate(lst)),
+            lst[0][0],
+        )
+    got = {
+        r["shard"]: (r["n_docs"], r["sum_toks"], r["order_checksum"], r["first_key"])
+        for r in q70_epoch_shuffle(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (got, want)
