@@ -5000,6 +5000,135 @@ FROM ranked GROUP BY shard
 """
 
 
+# --------------------------------------------------------------------------
+# q71 — composite Gopher/C4-style quality-filter VERDICTS: the rule table a
+# curation run actually ships — every doc gets a flag per rule plus the
+# final keep bit, so downstream can audit WHICH rule drops what (q10 emits
+# raw signals; q71 is the decision). Rules, all integer-exact: R1 token
+# count in [15, 80]; R2 mean word length in [4.5, 5.0] (9n ≤ 2·chars ∧
+# chars ≤ 5n); R3 stopword fraction ≥ 2% (50·stop ≥ n); R4 top-token
+# repetition ≤ 12% (25·c_top ≤ 3n). All four rules are per-row
+# higher-order-function algebra over the token array — a 0-exchange pure
+# JVM map, q25's discipline: nothing to shuffle at any corpus size.
+# --------------------------------------------------------------------------
+
+
+def q71_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.expr(
+            "aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)"
+        ).alias("chars"),
+        F.expr("size(filter(t, x -> x = 'the' OR x = 'a'))").alias("stop"),
+        F.expr(
+            "array_max(transform(array_distinct(t),"
+            " x -> size(filter(t, y -> y = x))))"
+        ).alias("ctop"),
+    )
+    return t.select(
+        "doc_id",
+        F.expr("CAST(n BETWEEN 15 AND 80 AS INT)").alias("r_len"),
+        F.expr("CAST(9 * n <= 2 * chars AND chars <= 5 * n AS INT)").alias(
+            "r_wordlen"
+        ),
+        F.expr("CAST(50 * stop >= n AS INT)").alias("r_stopword"),
+        F.expr("CAST(25 * ctop <= 3 * n AS INT)").alias("r_repetition"),
+        F.expr(
+            "CAST(n BETWEEN 15 AND 80 AND 9 * n <= 2 * chars AND chars <= 5 * n"
+            " AND 50 * stop >= n AND 25 * ctop <= 3 * n AS INT)"
+        ).alias("keep"),
+    )
+
+
+Q71_SQL = """
+WITH s AS (
+  SELECT doc_id, len(t) AS n,
+         list_sum(list_transform(t, x -> len(x))) AS chars,
+         len(list_filter(t, x -> x IN ('the', 'a'))) AS stop,
+         list_max(list_transform(list_distinct(t),
+                                 x -> len(list_filter(t, y -> y = x)))) AS ctop
+  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) q)
+SELECT doc_id,
+       CAST(n BETWEEN 15 AND 80 AS INT) AS r_len,
+       CAST(9 * n <= 2 * chars AND chars <= 5 * n AS INT) AS r_wordlen,
+       CAST(50 * stop >= n AS INT) AS r_stopword,
+       CAST(25 * ctop <= 3 * n AS INT) AS r_repetition,
+       CAST(n BETWEEN 15 AND 80 AND 9 * n <= 2 * chars AND chars <= 5 * n
+            AND 50 * stop >= n AND 25 * ctop <= 3 * n AS INT) AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q72 — corpus snapshot diff: classify every doc across two corpus
+# versions as same / changed / removed / added — the SCD-style audit a
+# data-versioned lake (Iceberg snapshots) runs between training-set cuts.
+# Snapshot B derives deterministically from A (doc_id % 13 == 2 removed,
+# % 7 == 1 text-updated, % 17 == 3 re-added under a new id). ONE
+# full-outer hash join on doc_id (both sides shuffle once, 1:1 keys — no
+# skew possible on a unique key); per-status rollup carries an
+# order-insensitive content checksum (sum of 32-bit md5 prefixes) so the
+# diff pins WHAT changed, not just how much.
+# --------------------------------------------------------------------------
+
+_SNAP_NEW_OFFSET = 1000000
+
+
+def q72_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("ha"))
+    b_kept = docs.filter(F.expr("doc_id % 13 != 2")).select(
+        "doc_id",
+        F.md5(
+            F.expr("CASE WHEN doc_id % 7 = 1 THEN text || ' upd' ELSE text END")
+        ).alias("hb"),
+    )
+    b_new = docs.filter(F.expr("doc_id % 17 = 3")).select(
+        F.expr(f"doc_id + {_SNAP_NEW_OFFSET}").alias("doc_id"),
+        F.md5(F.expr("'new ' || text")).alias("hb"),
+    )
+    b = b_kept.unionByName(b_new)
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("ha").isNull(), F.lit("added"))
+        .when(F.col("hb").isNull(), F.lit("removed"))
+        .when(F.col("ha") == F.col("hb"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        status.alias("status"),
+        F.expr(
+            "cast(conv(substring(coalesce(hb, ha), 1, 8), 16, 10) as bigint)"
+        ).alias("hp"),
+    ).groupBy("status").agg(
+        F.count("*").alias("n_docs"), F.sum("hp").alias("content_checksum")
+    )
+
+
+Q72_SQL = f"""
+WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 1 THEN text || ' upd' ELSE text END) AS hb
+  FROM documents WHERE doc_id % 13 != 2
+  UNION ALL
+  SELECT doc_id + {_SNAP_NEW_OFFSET} AS doc_id, md5('new ' || text) AS hb
+  FROM documents WHERE doc_id % 17 = 3),
+j AS (
+  SELECT CASE WHEN a.ha IS NULL THEN 'added'
+              WHEN b.hb IS NULL THEN 'removed'
+              WHEN a.ha = b.hb THEN 'same'
+              ELSE 'changed' END AS status,
+         ('0x' || substring(COALESCE(b.hb, a.ha), 1, 8))::BIGINT AS hp
+  FROM a FULL OUTER JOIN b USING (doc_id))
+SELECT status, COUNT(*) AS n_docs,
+       CAST(SUM(hp) AS BIGINT) AS content_checksum
+FROM j GROUP BY status
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -5071,6 +5200,8 @@ QUERIES = {
     "q68_dsir_weights": q68_dsir_weights,
     "q69_block_loss_mask": q69_block_loss_mask,
     "q70_epoch_shuffle": q70_epoch_shuffle,
+    "q71_quality_filter": q71_quality_filter,
+    "q72_snapshot_diff": q72_snapshot_diff,
 }
 
 ORACLES = {
@@ -5144,4 +5275,6 @@ ORACLES = {
     "q68_dsir_weights": Q68_SQL,
     "q69_block_loss_mask": Q69_SQL,
     "q70_epoch_shuffle": Q70_SQL,
+    "q71_quality_filter": Q71_SQL,
+    "q72_snapshot_diff": Q72_SQL,
 }

