@@ -5129,6 +5129,117 @@ FROM j GROUP BY status
 """
 
 
+# --------------------------------------------------------------------------
+# q73 — dedup-quality audit: measure the LSH pipeline against the exact
+# reference instead of trusting it — the "did my dedup actually work"
+# operator a curation run ships with its dedup stats. Three pair sets,
+# all already computed by this suite and reused via their memos/persists:
+# raw band-collision CANDIDATES (the q08 band self-join), VERIFIED pairs
+# (q08's output: 3·inter ≥ nₐ+n_b ⟺ J ≥ 1/2), and the EXACT reference
+# (q17: true n-gram Jaccard ≥ 20 on DF-capped shingles). Output is one
+# audit row: candidate precision (how much band noise the verify step has
+# to clean), verified precision, and recall vs the exact set — integer
+# percentages, engine-identical. Scale: every input is a bounded pair
+# table (banded, never all-pairs); the metric joins are pair-key 1:1.
+# --------------------------------------------------------------------------
+
+
+def q73_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands_table(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact feeds three consumers (two probe joins + its own count) and is
+    # the expensive arm — persist it once, q17-discipline.
+    exact = (
+        q17_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("ex", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ver = q08_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    c = cand.join(exact, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.coalesce("ex", F.lit(0))).alias("n_cand_tp"),
+    )
+    v = ver.join(exact, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_verified"),
+        F.sum(F.coalesce("ex", F.lit(0))).alias("n_ver_tp"),
+    )
+    e = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        c.crossJoin(v)
+        .crossJoin(e)
+        .select(
+            "n_candidates",
+            "n_verified",
+            "n_exact",
+            F.expr("(100 * n_cand_tp) div n_candidates").alias(
+                "cand_precision_pct"
+            ),
+            F.expr("(100 * n_ver_tp) div n_verified").alias("ver_precision_pct"),
+            F.expr("(100 * n_cand_tp) div n_exact").alias("recall_pct"),
+        )
+    )
+
+
+Q73_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+{_MH_SQL_CTES},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY p.doc_a, p.doc_b),
+ver AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE 3 * i.inter >= na.n + nb.n),
+rare AS MATERIALIZED (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_DF_CAP}),
+shc AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+csizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+cinter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+exact AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cinter
+  JOIN csizes na ON na.doc_id = doc_a JOIN csizes nb ON nb.doc_id = doc_b
+  WHERE (100 * inter) // (na.n + nb.n - inter) >= 20),
+m AS (
+  SELECT
+    (SELECT COUNT(*) FROM cand) AS n_candidates,
+    (SELECT COUNT(*) FROM ver) AS n_verified,
+    (SELECT COUNT(*) FROM exact) AS n_exact,
+    (SELECT COUNT(*) FROM cand JOIN exact USING (doc_a, doc_b)) AS n_cand_tp,
+    (SELECT COUNT(*) FROM ver JOIN exact USING (doc_a, doc_b)) AS n_ver_tp)
+SELECT n_candidates, n_verified, n_exact,
+       CAST((100 * n_cand_tp) // n_candidates AS BIGINT) AS cand_precision_pct,
+       CAST((100 * n_ver_tp) // n_verified AS BIGINT) AS ver_precision_pct,
+       CAST((100 * n_cand_tp) // n_exact AS BIGINT) AS recall_pct
+FROM m
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -5202,6 +5313,7 @@ QUERIES = {
     "q70_epoch_shuffle": q70_epoch_shuffle,
     "q71_quality_filter": q71_quality_filter,
     "q72_snapshot_diff": q72_snapshot_diff,
+    "q73_dedup_audit": q73_dedup_audit,
 }
 
 ORACLES = {
@@ -5277,4 +5389,5 @@ ORACLES = {
     "q70_epoch_shuffle": Q70_SQL,
     "q71_quality_filter": Q71_SQL,
     "q72_snapshot_diff": Q72_SQL,
+    "q73_dedup_audit": Q73_SQL,
 }
