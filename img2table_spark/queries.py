@@ -5240,6 +5240,195 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# q74 — the composed curation pipeline (FineWeb/RefinedWeb order): quality
+# filter (q71's rules) → MinHash near-dup PURGE on the survivors (q08's
+# band+verify chain, larger doc of a verified pair drops) → C4 line dedup
+# (q63's first-occurrence claim, docs rebuilt from their kept lines) →
+# exact dedup on the REBUILT text (min-doc_id keeper; the safety net for
+# post-rebuild collisions) → one funnel row: corpus count after every
+# stage + final token mass + an order-insensitive content checksum. The
+# capstone proof that the suite's operators COMPOSE into the production
+# pipeline — every stage is the already-audited scale shape, chained (at
+# sf0.01 the funnel is 500 → 143 → 139 → … — each stage visibly fires).
+# The stage counts land in one row via 1-row agg crossJoins (bounded
+# BNLJ, q73's documented pattern).
+# --------------------------------------------------------------------------
+
+
+def q74_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.expr(
+            "aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)"
+        ).alias("chars"),
+        F.expr("size(filter(t, x -> x = 'the' OR x = 'a'))").alias("stop"),
+        F.expr(
+            "array_max(transform(array_distinct(t),"
+            " x -> size(filter(t, y -> y = x))))"
+        ).alias("ctop"),
+    )
+    surv = (
+        t.filter(
+            F.expr(
+                "n BETWEEN 15 AND 80 AND 9 * n <= 2 * chars AND chars <= 5 * n"
+                " AND 50 * stop >= n AND 25 * ctop <= 3 * n"
+            )
+        )
+        .select("doc_id", "t")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh2 = surv.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> array_join(slice(t, i + 1, 3), ' '))"
+            )
+        ).alias("s"),
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    bands2 = _minhash_bands(sh2)
+    cand = (
+        bands2.alias("a")
+        .join(bands2.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh2.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh2.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    drops = (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(F.expr("3 * inter >= na.n + nb.n"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = surv.join(drops, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    segs = nd.filter(F.size("t") >= _LINE_W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) div {_LINE_W} - 1),"
+                f" i -> array_join(slice(t, i * {_LINE_W} + 1, {_LINE_W}), ' '))"
+            )
+        ).alias("seg", "line"),
+    ).select(
+        "doc_id", "seg", "line", F.md5("line").alias("h"),
+        F.expr(f"doc_id * {_SEG_SHIFT} + seg").alias("key"),
+    )
+    first = segs.groupBy("h").agg(F.min("key").alias("keep_key"))
+    rebuilt = (
+        segs.join(first, "h")
+        .filter(F.col("key") == F.col("keep_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(seg, line))),"
+                " x -> x.line), ' ')"
+            ).alias("rtext")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keepers = rebuilt.groupBy(F.md5("rtext").alias("hm")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    final = (
+        rebuilt.join(keepers, F.md5(rebuilt["rtext"]) == keepers["hm"])
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "rtext")
+    )
+    a1 = docs.agg(F.count("*").alias("n_input"))
+    a2 = surv.agg(F.count("*").alias("n_filtered"))
+    a3 = nd.agg(F.count("*").alias("n_neardup"))
+    a4 = rebuilt.agg(F.count("*").alias("n_linededup"))
+    a5 = final.agg(
+        F.count("*").alias("n_final"),
+        F.sum(F.size(F.split("rtext", " "))).alias("final_toks"),
+        F.sum(
+            F.expr("cast(conv(substring(md5(rtext), 1, 8), 16, 10) as bigint)")
+        ).alias("content_checksum"),
+    )
+    return a1.crossJoin(a2).crossJoin(a3).crossJoin(a4).crossJoin(a5)
+
+
+Q74_SQL = f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id, t, len(t) AS n,
+         list_sum(list_transform(t, x -> len(x))) AS chars,
+         len(list_filter(t, x -> x IN ('the', 'a'))) AS stop,
+         list_max(list_transform(list_distinct(t),
+                                 x -> len(list_filter(t, y -> y = x)))) AS ctop
+  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) q),
+surv AS MATERIALIZED (
+  SELECT doc_id, t FROM sig
+  WHERE n BETWEEN 15 AND 80 AND 9 * n <= 2 * chars AND chars <= 5 * n
+        AND 50 * stop >= n AND 25 * ctop <= 3 * n),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM surv, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+  WHERE len(t) >= 3),
+{_MH_SQL_CTES},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY p.doc_a, p.doc_b),
+drops AS MATERIALIZED (
+  SELECT DISTINCT i.doc_b AS doc_id FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE 3 * i.inter >= na.n + nb.n),
+nd AS MATERIALIZED (
+  SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+segs AS MATERIALIZED (
+  SELECT doc_id, i AS seg,
+         array_to_string(t[i * {_LINE_W} + 1 : i * {_LINE_W} + {_LINE_W}], ' ') AS line,
+         doc_id * {_SEG_SHIFT} + i AS key
+  FROM nd, LATERAL (SELECT unnest(generate_series(0, len(t) // {_LINE_W} - 1)) AS i) g
+  WHERE len(t) >= {_LINE_W}),
+first AS MATERIALIZED (
+  SELECT md5(line) AS h, MIN(key) AS keep_key FROM segs GROUP BY md5(line)),
+rebuilt AS MATERIALIZED (
+  SELECT s.doc_id, string_agg(s.line, ' ' ORDER BY s.seg) AS rtext
+  FROM segs s JOIN first f ON md5(s.line) = f.h AND s.key = f.keep_key
+  GROUP BY s.doc_id),
+final AS MATERIALIZED (
+  SELECT r.doc_id, r.rtext FROM rebuilt r
+  JOIN (SELECT md5(rtext) AS hm, MIN(doc_id) AS keeper
+        FROM rebuilt GROUP BY md5(rtext)) k
+    ON md5(r.rtext) = k.hm AND r.doc_id = k.keeper)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_input,
+  (SELECT COUNT(*) FROM surv) AS n_filtered,
+  (SELECT COUNT(*) FROM nd) AS n_neardup,
+  (SELECT COUNT(*) FROM rebuilt) AS n_linededup,
+  (SELECT COUNT(*) FROM final) AS n_final,
+  (SELECT CAST(SUM(len(str_split(rtext, ' '))) AS BIGINT) FROM final) AS final_toks,
+  (SELECT CAST(SUM(('0x' || substring(md5(rtext), 1, 8))::BIGINT) AS BIGINT)
+   FROM final) AS content_checksum
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -5314,6 +5503,7 @@ QUERIES = {
     "q71_quality_filter": q71_quality_filter,
     "q72_snapshot_diff": q72_snapshot_diff,
     "q73_dedup_audit": q73_dedup_audit,
+    "q74_curation_pipeline": q74_curation_pipeline,
 }
 
 ORACLES = {
@@ -5390,4 +5580,5 @@ ORACLES = {
     "q71_quality_filter": Q71_SQL,
     "q72_snapshot_diff": Q72_SQL,
     "q73_dedup_audit": Q73_SQL,
+    "q74_curation_pipeline": Q74_SQL,
 }
