@@ -490,6 +490,12 @@ def _decode_xobject_image(doc: PdfDocument, xobj) -> "np.ndarray | None":
             )
         except CCITTError:
             return None
+        # DecodeParms Columns/Rows smaller than the image dict's
+        # /Width//Height would silently hand an undersized array to the
+        # geometry code downstream (ADVICE r4) — treat the disagreement as
+        # a malformed stream (error row), like any other decode failure.
+        if black.shape[0] < height or black.shape[1] < width:
+            return None
         # filter output: black pixels are 0 unless BlackIs1; a /Decode
         # [1 0] array inverts the sample→gray mapping on top of that
         bits = black if black_is_1 else (1 - black)

@@ -375,6 +375,22 @@ def _shingles(
 _BANDS_MEMO: dict = {}
 
 
+def _memo_put(memo: dict, key: tuple, value, spark: SparkSession) -> None:
+    """Insert into an (applicationId, ...)-keyed DataFrame memo, first
+    evicting (and unpersisting, where the owning session still answers)
+    entries from OTHER SparkSessions — a long-lived driver that cycles
+    sessions must not accumulate dead persisted-DataFrame references
+    (ADVICE r4)."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in memo if k[0] != app_id]:
+        old = memo.pop(stale)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # owning session already gone — nothing to release
+    memo[key] = value
+
+
 def _bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted + memoized (doc_id, band, sig) MinHash-LSH band index —
     the materialized dedup index, same discipline as the IVF assignment
@@ -391,7 +407,7 @@ def _bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _minhash_bands(_shingles(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _BANDS_MEMO[key] = out
+    _memo_put(_BANDS_MEMO, key, out, spark)
     return out
 
 
@@ -405,10 +421,23 @@ def q08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Semi-join prefilter (VERDICT r4 #5): only shingles of docs that
+    # actually hit a band bucket enter the verification joins. At 100 TB
+    # the candidate set is a vanishing fraction of the corpus, so the two
+    # probe joins below scan band-hit shingles only instead of the full
+    # shingle table twice. A doc's shingle set survives intact (the semi
+    # filters whole doc_ids, not shingle rows), so intersection counts and
+    # sizes are unchanged for every doc that can appear in the output.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
+        pairs.join(sh_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh_c.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -935,7 +964,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "vn", "bucket")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _IVF_ASSIGN_MEMO[memo_key] = out
+    _memo_put(_IVF_ASSIGN_MEMO, memo_key, out, spark)
     return out
 
 
@@ -1178,7 +1207,7 @@ def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> D
         labels = stepped.select("node", "label")
         if n_changed == 0:
             break
-    _LP_LABELS_MEMO[memo_key] = labels
+    _memo_put(_LP_LABELS_MEMO, memo_key, labels, spark)
     return labels
 
 
@@ -2528,12 +2557,15 @@ GROUP BY doc_id
 def q35_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    total = toks.count()  # driver-side scalar, one number
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("ppm", F.expr(f"(1000000 * cnt) div {total}"))
+    # the corpus-total scalar is folded out of the (persisted, vocab-sized)
+    # count table — NOT a separate toks.count() corpus scan (ADVICE r4; the
+    # q68 no-driver-corpus-scalar pattern). The corpus is tokenized twice
+    # (vocab agg + scoring join), never a third time.
+    vc = toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    total = vc.agg(F.sum("cnt")).collect()[0][0]  # scalar over vocab rows
+    vocab = vc.withColumn("ppm", F.expr(f"(1000000 * cnt) div {total}"))
     return (
         toks.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
@@ -4519,8 +4551,14 @@ FROM marked GROUP BY doc_id
 
 def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 2
+    # persisted: consumed by the vocab_n scalar AND the bigram explode —
+    # without it the vocab_n count pays a second full tokenize scan
+    # (ADVICE r4). q64 is plan-pinned no-BNLJ, so the scalar cannot ride a
+    # 1-row crossJoin; a cache-backed count is the bounded alternative.
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bg = toks.select(
         "doc_id",
@@ -4531,9 +4569,10 @@ def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers: c12/c1/join
     vocab_n = (
         toks.select(F.explode("t").alias("tok")).select("tok").distinct().count()
-    )  # driver-side scalar, one number
+    )  # scalar over the CACHED token arrays — no second tokenize scan
     c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     prob = (

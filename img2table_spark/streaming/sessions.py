@@ -133,8 +133,9 @@ def stream_image_dedup(
     """Streaming perceptual MEDIA dedup: fingerprint each arriving payload
     (Arrow-batched mapInPandas) and keep the first arrival per fingerprint
     within the watermark horizon. Images → dHash (any supported codec);
-    RIFF/WAVE audio → 12-bit-quantized content hash
-    (kernels/wav.audio_fingerprint), so audio rows flow through the same
+    RIFF/WAVE audio → decoded mono-stream content hash (md5 over sample
+    rate + mono float64 samples, kernels/wav.audio_fingerprint), so audio
+    rows flow through the same
     dedup stream (r3 verdict #5); RIFF/AVI uncompressed video → decoded
     RGB-frame content hash (kernels/avi.video_fingerprint), which collapses
     container rewrites and 24↔32-bit BI_RGB re-encodes the same way the

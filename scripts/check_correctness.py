@@ -28,7 +28,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         dt = str(df[c].dtype)
         if dt == "object":
             # DuckDB returns HUGEINT/decimal as object — try numeric first
-            coerced = pd.to_numeric(df[c], errors="ignore")
+            # (errors="ignore" is removed in pandas 3; emulate via try/except)
+            try:
+                coerced = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                coerced = df[c]
             if str(coerced.dtype) != "object":
                 df[c] = coerced
                 dt = str(coerced.dtype)
