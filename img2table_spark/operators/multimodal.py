@@ -5,9 +5,11 @@ Images decode for real through the full codec matrix
 (kernels/image_doc.decode_image_bytes: PNG/JPEG/BMP/TIFF incl. CCITT/WebP/
 PNM/HDR/EXR), RIFF/WAVE audio decodes for real (kernels/wav.py: PCM
 8/16/24/32 + IEEE float → duration/rate plus an 11-float RMS/ZCR/
-spectral-band feature vector), and RIFF/AVI uncompressed BI_RGB video
-decodes for real too (kernels/avi.py: frames/fps/duration plus sampled
-per-frame luma features). Only compressed audio (mp3/ogg/aac) and
+spectral-band feature vector), FLAC audio decodes for real too
+(kernels/flac.py — Rice + fixed/LPC predictors are fully structural, no
+measured spec tables), and RIFF/AVI uncompressed BI_RGB video decodes
+for real (kernels/avi.py: frames/fps/duration plus sampled per-frame
+luma features). Only perceptually-coded audio (mp3/ogg/aac) and
 compressed video (MJPG/H.264/...) need codec libraries this environment
 lacks; those stay STUBBED behind a deterministic fake
 (`fake_features=True`, default in tests) or `NotImplementedError` — the
@@ -57,6 +59,7 @@ _MAGIC_MIME = [
     (b"MM\x00*", "image/tiff"),
     (b"#?", "image/vnd.radiance"),
     (b"\x76\x2f\x31\x01", "image/x-exr"),
+    (b"fLaC", "audio/flac"),
 ]
 
 
@@ -103,6 +106,19 @@ def _decode_one(payload: bytes, kind: str, fake_features: bool) -> dict:
 
         rate, _ch, samples = decode_wav(payload)
         out["mime"] = "audio/wav"
+        out["duration_ms"] = int(round(len(samples) * 1000 / rate))
+        out["features"] = wav_features(rate, samples)
+        return out
+    if kind == "audio" and payload[:4] == b"fLaC":
+        # REAL decode: FLAC is fully structural (kernels/flac.py — Rice +
+        # fixed/LPC predictors, no measured spec tables); features come
+        # from the same wav_features chain since decode_flac matches
+        # decode_wav's (rate, channels, ±1 float64) contract.
+        from img2table_spark.kernels.flac import decode_flac
+        from img2table_spark.kernels.wav import wav_features
+
+        rate, _ch, samples = decode_flac(payload)
+        out["mime"] = "audio/flac"
         out["duration_ms"] = int(round(len(samples) * 1000 / rate))
         out["features"] = wav_features(rate, samples)
         return out

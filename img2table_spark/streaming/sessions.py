@@ -133,8 +133,10 @@ def stream_image_dedup(
     """Streaming perceptual MEDIA dedup: fingerprint each arriving payload
     (Arrow-batched mapInPandas) and keep the first arrival per fingerprint
     within the watermark horizon. Images → dHash (any supported codec);
-    RIFF/WAVE audio → decoded mono-stream content hash (md5 over sample
-    rate + mono float64 samples, kernels/wav.audio_fingerprint), so audio
+    RIFF/WAVE and FLAC audio → decoded mono-stream content hash (md5 over
+    sample rate + mono float64 samples, kernels/wav.audio_fingerprint and
+    kernels/flac.audio_fingerprint — the SAME construction, so a lossless
+    WAV↔FLAC transcode dedupes), so audio
     rows flow through the same
     dedup stream (r3 verdict #5); RIFF/AVI uncompressed video → decoded
     RGB-frame content hash (kernels/avi.video_fingerprint), which collapses
@@ -159,6 +161,9 @@ def stream_image_dedup(
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from img2table_spark.kernels.avi import video_fingerprint
+        from img2table_spark.kernels.flac import (
+            audio_fingerprint as flac_fingerprint,
+        )
         from img2table_spark.kernels.image_doc import decode_image_bytes
         from img2table_spark.kernels.phash import dhash64
         from img2table_spark.kernels.wav import audio_fingerprint
@@ -170,6 +175,12 @@ def stream_image_dedup(
                     b = bytes(payload)
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         hashes.append(audio_fingerprint(b))
+                    elif b[:4] == b"fLaC":
+                        # same md5-of-decoded-stream construction — a
+                        # lossless WAV↔FLAC transcode hashes IDENTICALLY,
+                        # so container conversion dedupes (pinned in
+                        # tests/test_kernels_flac.py)
+                        hashes.append(flac_fingerprint(b))
                     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         hashes.append(video_fingerprint(b))
                     else:
