@@ -1009,3 +1009,190 @@ def build_borderless_text_pdf() -> bytes:
     for i, line in enumerate(prose):
         ops.append(pdf_text_op(90, 480 - i * 16, line))
     return build_text_pdf([(612, 792, "\n".join(ops).encode(), [])])
+
+
+# ------------------------------------------- baseline JPEG + old-style TIFF
+
+
+def _baseline_symbols_and_entropy(comps, geo, enc_dc=None, enc_ac=None):
+    """One pass over the interleaved MCU order (T.81 F.1.2 baseline
+    sequential). With encoders: returns the stuffed entropy bytes. Without:
+    returns (dc_symbols, ac_symbols) for table building."""
+    dc_syms: list[int] = []
+    ac_syms: list[int] = []
+    w = _BitWriter() if enc_dc is not None else None
+    preds = [0] * len(comps)
+    for ci, bi in _mcu_block_order(geo):
+        coef = comps[ci][bi]
+        dc = int(coef[0])
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s, bits = _mag_bits(diff)
+        if w is None:
+            dc_syms.append(s)
+        else:
+            code, ln = enc_dc[s]
+            w.write(code, ln)
+            if s:
+                w.write(bits, s)
+        r = 0
+        for k in range(1, 64):
+            v = int(coef[k])
+            if v == 0:
+                r += 1
+                continue
+            while r >= 16:
+                if w is None:
+                    ac_syms.append(0xF0)
+                else:
+                    code, ln = enc_ac[0xF0]
+                    w.write(code, ln)
+                r -= 16
+            s, bits = _mag_bits(v)
+            if w is None:
+                ac_syms.append((r << 4) | s)
+            else:
+                code, ln = enc_ac[(r << 4) | s]
+                w.write(code, ln)
+                w.write(bits, s)
+            r = 0
+        if r:
+            if w is None:
+                ac_syms.append(0x00)  # EOB
+            else:
+                code, ln = enc_ac[0x00]
+                w.write(code, ln)
+    if w is None:
+        return dc_syms, ac_syms
+    return w.flush()
+
+
+def encode_jpeg_baseline(img: np.ndarray, qval: int = 2,
+                         subsample: bool = False) -> bytes:
+    """RGB → baseline sequential JPEG (SOF0), one interleaved scan, flat
+    self-built Huffman tables — the process old-style JPEG-in-TIFF
+    (JPEGProc = 1) requires; the progressive encoder can't serve it
+    because bare-MCU strips hold exactly one entropy segment."""
+    h, w, _ = img.shape
+    qtable = np.full(64, qval, dtype=np.int32)
+    comps, geo = rgb_to_quantized_blocks(img, qtable, subsample=subsample)
+    dc_syms, ac_syms = _baseline_symbols_and_entropy(comps, geo)
+    dc_payload, enc_dc = _flat_huff(dc_syms)
+    ac_payload, enc_ac = _flat_huff(ac_syms)
+    body = _baseline_symbols_and_entropy(comps, geo, enc_dc, enc_ac)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        qtable[ZIGZAG].astype(np.uint8)
+    )
+    out += b"\xff\xc4" + struct.pack(">HB", 3 + len(dc_payload), 0x00) + dc_payload
+    out += b"\xff\xc4" + struct.pack(">HB", 3 + len(ac_payload), 0x10) + ac_payload
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (fh, fv) in zip((1, 2, 3), geo["factors"]):
+        sof += struct.pack("BBB", cid, (fh << 4) | fv, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_tiff_jpeg_oldstyle_tables(
+    img: np.ndarray, rows_per_strip: int | None = None,
+    subsample: bool = False, qval: int = 2,
+) -> bytes:
+    """RGB → old-style JPEG-in-TIFF (compression 6) in the TABLES-POINTER
+    layout (TIFF 6.0 §22): NO JPEGInterchangeFormat — strips hold bare
+    baseline entropy-coded MCU data, and JPEGQTables/JPEGDCTables/
+    JPEGACTables (519/520/521) point at raw table payloads. Each strip is
+    an independent scan (fresh DC predictors, byte-aligned), which is the
+    only unambiguous reading of the pre-TTN2 layout and what libtiff's
+    OJPEG codec reconstructs. Shared tables are built over ALL strips so
+    one table set serves the whole IFD."""
+    h, w, _ = img.shape
+    mcu_h = 16 if subsample else 8
+    rows_per_strip = rows_per_strip or h
+    if rows_per_strip % mcu_h and rows_per_strip < h:
+        raise ValueError(f"rows_per_strip must be a multiple of {mcu_h}")
+    qtable = np.full(64, qval, dtype=np.int32)
+    bands = []
+    for y0 in range(0, h, rows_per_strip):
+        band = np.ascontiguousarray(img[y0 : y0 + rows_per_strip])
+        bands.append(rgb_to_quantized_blocks(band, qtable, subsample=subsample))
+    dc_all: list[int] = []
+    ac_all: list[int] = []
+    for comps, geo in bands:
+        d, a = _baseline_symbols_and_entropy(comps, geo)
+        dc_all += d
+        ac_all += a
+    dc_payload, enc_dc = _flat_huff(dc_all)
+    ac_payload, enc_ac = _flat_huff(ac_all)
+    strips = [
+        _baseline_symbols_and_entropy(comps, geo, enc_dc, enc_ac)
+        for comps, geo in bands
+    ]
+
+    n = len(strips)
+    sub = (2, 2) if subsample else (1, 1)
+    tag_list = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None), (259, 3, 1, 6),
+        (262, 3, 1, 6),  # PhotometricInterpretation = YCbCr
+        (273, 4, n, None), (277, 3, 1, 3), (278, 3, 1, rows_per_strip),
+        (279, 4, n, None), (284, 3, 1, 1),
+        (512, 3, 1, 1),  # JPEGProc = baseline
+        (519, 4, 3, None), (520, 4, 3, None), (521, 4, 3, None),
+        (530, 3, 2, None),  # YCbCrSubSampling
+    ]
+    tag_list.sort()
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    base = 8 + ifd_size
+    locs: dict[int, int] = {}
+
+    def put(tag: int, payload: bytes):
+        locs[tag] = base + len(extra)
+        extra.extend(payload)
+
+    put(258, struct.pack("<3H", 8, 8, 8))
+    # 2×SHORT fits the 4-byte value field → stored INLINE per TIFF 6.0 §2
+    locs[530] = sub[0] | (sub[1] << 16)
+    # raw table payloads; all three components share one offset each
+    qraw = bytes(qtable[ZIGZAG].astype(np.uint8))
+    locs["q"] = base + len(extra)
+    extra.extend(qraw)
+    locs["dc"] = base + len(extra)
+    extra.extend(dc_payload)
+    locs["ac"] = base + len(extra)
+    extra.extend(ac_payload)
+    put(519, struct.pack("<3I", *([locs["q"]] * 3)))
+    put(520, struct.pack("<3I", *([locs["dc"]] * 3)))
+    put(521, struct.pack("<3I", *([locs["ac"]] * 3)))
+    strip_base = base + len(extra) + (4 * n * 2 if n > 1 else 0)
+    offsets = []
+    pos = strip_base
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    if n > 1:
+        locs[273] = base + len(extra)
+        extra.extend(struct.pack(f"<{n}I", *offsets))
+        locs[279] = base + len(extra)
+        extra.extend(struct.pack(f"<{n}I", *(len(s) for s in strips)))
+    else:  # count-1 LONG is stored inline in the value field
+        locs[273] = offsets[0]
+        locs[279] = len(strips[0])
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tag_list))
+    for tag, typ, cnt, val in tag_list:
+        if val is None:
+            val = locs[tag]
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -188,6 +188,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         eb = ">"
     else:
         raise TIFFError("not a TIFF")
+    if len(data) < 8:
+        raise TIFFError("truncated TIFF header")
     (ifd_off,) = struct.unpack_from(eb + "I", data, 4)
     tags = _read_ifd(data, ifd_off, eb)
 
@@ -224,22 +226,94 @@ def decode_tiff(data: bytes) -> np.ndarray:
         # directly. The tables-pointer variant (JPEGQTables 519 etc. with
         # bare per-strip MCU data) is ambiguous by spec (why TTN2 replaced
         # it) and stays rejected.
-        jif = tags.get(513)
-        if not jif:
-            raise TIFFError(
-                "old-style JPEG-in-TIFF without an interchange stream unsupported"
-            )
-        off = jif[0]
-        length = (tags.get(514) or [len(data) - off])[0]
         from img2table_spark.kernels.jpeg import JPEGError, decode_jpeg
 
-        try:
-            img = decode_jpeg(data[off : off + length])
-        except JPEGError as exc:
-            raise TIFFError(f"old-style JPEG-in-TIFF: {exc}") from exc
-        if img.shape[0] < h or img.shape[1] < w:
-            raise TIFFError("old-style JPEG stream smaller than the page")
-        return np.ascontiguousarray(img[:h, :w])
+        jif = tags.get(513)
+        if jif:
+            off = jif[0]
+            length = (tags.get(514) or [len(data) - off])[0]
+            try:
+                img = decode_jpeg(data[off : off + length])
+            except JPEGError as exc:
+                raise TIFFError(f"old-style JPEG-in-TIFF: {exc}") from exc
+            if img.shape[0] < h or img.shape[1] < w:
+                raise TIFFError("old-style JPEG stream smaller than the page")
+            return np.ascontiguousarray(img[:h, :w])
+        # Tables-pointer variant (TIFF 6.0 §22, round-5 closure of the last
+        # codec gap): strips hold bare baseline entropy-coded MCU data and
+        # JPEGQTables/JPEGDCTables/JPEGACTables point at raw table
+        # payloads. The only unambiguous reading (and the one libtiff's
+        # OJPEG codec reconstructs) is: each strip is an independent
+        # baseline scan, byte-aligned with fresh DC predictors — so we
+        # synthesize one SOI..EOI interchange stream per strip from the
+        # tag-held tables and hand it to the ordinary JPEG decoder. The
+        # lossless process (JPEGProc 14) stays rejected.
+        proc = one(512, 1)
+        if proc != 1:
+            raise TIFFError(f"old-style JPEG process {proc} unsupported")
+        qoffs, dcoffs, acoffs = tags.get(519), tags.get(520), tags.get(521)
+        if not (qoffs and dcoffs and acoffs) or offsets is None:
+            raise TIFFError(
+                "old-style JPEG-in-TIFF without an interchange stream or "
+                "table pointers unsupported"
+            )
+        if counts is None:
+            counts = [len(data) - offsets[0]]
+        if spp not in (1, 3):
+            raise TIFFError(f"old-style JPEG with {spp} components unsupported")
+        subs = tags.get(530) or ([2, 2] if (photo == 6 and spp == 3) else [1, 1])
+        restart = one(515, 0)
+
+        def huff_at(off_):
+            n_vals = sum(data[off_ : off_ + 16])
+            t = data[off_ : off_ + 16 + n_vals]
+            if len(t) < 16 + n_vals:
+                raise TIFFError("truncated old-style JPEG Huffman table")
+            return t
+
+        pre = bytearray()
+        for i in range(spp):
+            q64 = data[qoffs[i] : qoffs[i] + 64]
+            if len(q64) < 64:
+                raise TIFFError("truncated old-style JPEG quant table")
+            pre += b"\xff\xdb" + struct.pack(">HB", 67, i) + q64
+            d = huff_at(dcoffs[i])
+            pre += b"\xff\xc4" + struct.pack(">HB", 3 + len(d), i) + d
+            a = huff_at(acoffs[i])
+            pre += b"\xff\xc4" + struct.pack(">HB", 3 + len(a), 0x10 | i) + a
+        if restart:
+            pre += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+        sos = bytes([spp])
+        for i in range(spp):
+            sos += bytes([i, (i << 4) | i])
+        sos += bytes([0, 63, 0])
+        bands = []
+        y0 = 0
+        for off, cnt in zip(offsets, counts):
+            strip_h = min(rows_per_strip, h - y0)
+            sof = struct.pack(">BHHB", 8, strip_h, w, spp)
+            for i in range(spp):
+                fh, fv = (subs[0], subs[1]) if (i == 0 and spp == 3) else (1, 1)
+                sof += struct.pack("BBB", i, (fh << 4) | fv, i)
+            stream = (
+                b"\xff\xd8" + bytes(pre)
+                + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+                + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                + data[off : off + cnt] + b"\xff\xd9"
+            )
+            try:
+                img = decode_jpeg(stream)
+            except JPEGError as exc:
+                raise TIFFError(f"old-style JPEG strip: {exc}") from exc
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[0] < strip_h or img.shape[1] < w:
+                raise TIFFError("old-style JPEG strip smaller than declared")
+            bands.append(img[:strip_h, :w])
+            y0 += strip_h
+        if y0 < h:
+            raise TIFFError("old-style JPEG strips cover less than the page")
+        return np.ascontiguousarray(np.concatenate(bands, axis=0))
 
     if offsets is None:
         raise TIFFError("missing strips")

@@ -1672,6 +1672,7 @@ def _q14_corpus_rows() -> tuple:
             encode_tiff_ccitt,
             encode_tiff_jpeg,
             encode_tiff_jpeg_oldstyle,
+            encode_tiff_jpeg_oldstyle_tables,
             encode_tiff_tiled,
             encode_tiff_tiled_bilevel,
         )
@@ -1698,6 +1699,11 @@ def _q14_corpus_rows() -> tuple:
                 (encode_tiff_ccitt(test_img, compression=4), "image/tiff"),
                 (encode_tiff_ccitt(test_img, compression=3, two_d=True,
                                    rows_per_strip=64), "image/tiff"),
+                # old-style JPEG-in-TIFF, tables-pointer bare-MCU variant
+                # (the last codec gap, closed round 5): strips of bare
+                # baseline entropy data + JPEGQ/DC/ACTables tag pointers
+                (encode_tiff_jpeg_oldstyle_tables(test_img, rows_per_strip=64),
+                 "image/tiff"),
             ],
             start=12,
         ):
