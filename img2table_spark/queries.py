@@ -301,7 +301,12 @@ _MH_SQL_BANDS = "\n  UNION ALL ".join(
     f"CAST(m{2 * bb + 1} AS VARCHAR) AS sig FROM mh"
     for bb in range(_N_HASHES // _BAND_ROWS)
 )
-_MH_SQL_CTES = f"""mh AS (
+# mh/bands are MATERIALIZED: DuckDB 1.x inlines CTEs by default and the
+# capped pair CTE references bands three times (all-pairs arm, stats,
+# star arm) — inlined, the whole shingle+minhash chain re-runs per
+# reference, which at the sf1 stress scale spilled temp storage until the
+# disk filled (q32, round 5). Same lesson as q73/q74's MATERIALIZED CTEs.
+_MH_SQL_CTES = f"""mh AS MATERIALIZED (
   SELECT doc_id,
          {_MH_SQL_MINS}
   FROM (SELECT doc_id,
@@ -309,7 +314,7 @@ _MH_SQL_CTES = f"""mh AS (
         FROM sh) q
   GROUP BY doc_id
 ),
-bands AS (
+bands AS MATERIALIZED (
   {_MH_SQL_BANDS}
 )"""
 
@@ -1308,25 +1313,25 @@ def q16_dedup_clusters(
 _Q16_CTES = f"""toks AS (
   SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE len(str_split(text, ' ')) >= 3
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
   FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
 ),
 {_MH_SQL_CTES},
-{_pairs_sql_cte("cand")},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+{_pairs_sql_cte("cand", materialized=True)},
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
   FROM cand p JOIN sh sa ON sa.doc_id = p.doc_a
   JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
   GROUP BY p.doc_a, p.doc_b
 ),
-verified AS (
+verified AS MATERIALIZED (
   SELECT i.doc_a, i.doc_b FROM inter i
   JOIN sizes na ON na.doc_id = i.doc_a JOIN sizes nb ON nb.doc_id = i.doc_b
   WHERE 3 * i.inter >= na.n + nb.n
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM verified
   UNION SELECT doc_b, doc_a FROM verified
 ),
@@ -1335,7 +1340,7 @@ walk(node, label) AS (
   UNION
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node WHERE w.label < e.src
 ),
-comp AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)"""
+comp AS MATERIALIZED (SELECT node, MIN(label) AS label FROM walk GROUP BY node)"""
 
 Q16_SQL = f"""
 WITH RECURSIVE {_Q16_CTES}
