@@ -132,3 +132,58 @@ def test_gate_scale_cap_is_noop(spark):
     bands = Q._bands_table(spark, "/root/testdata/sf0.001")
     mx = bands.groupBy("band", "sig").count().agg(F.max("count")).collect()[0][0]
     assert mx < Q._BAND_CAP
+
+
+def test_conv_fingerprint_df_cap_bounds_hot_key(spark, tmp_path_factory):
+    """q48's conv near-dup under fingerprint skew: one boilerplate turn
+    shared by 10^4 conversations (df = 10,000 >> _CONV_DF_CAP = 32) is
+    dropped from pair generation entirely, so the hot key contributes ZERO
+    pairs (uncapped it would contribute ~5*10^7). Conversations still pair
+    on their remaining shared fingerprints, and the DuckDB oracle replays
+    the cap bit-exactly."""
+    import duckdb
+
+    tmp = tmp_path_factory.mktemp("conv_skew")
+    n_convs, turns = 10_000, Q._TR_TURNS
+    boiler = "standard system boilerplate preamble shared by every conversation"
+    rows = []
+    for c in range(n_convs):
+        for t in range(turns):
+            if t == 0:
+                text = boiler  # the hot fingerprint
+            elif c in (0, 1):
+                text = f"twin conversation turn {t} payload shared by c0 c1"
+            else:
+                text = f"conv {c} turn {t} unique payload content here"
+            rows.append((c * turns + t, text))
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "synthetic-conv-skew",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp / "documents.parquet", index=False)
+    sf_dir = str(tmp)
+
+    got = Q.QUERIES["q48_conv_neardup"](spark, sf_dir).collect()
+    # exactly the twin pair; the boilerplate turn was capped out, so
+    # n_common = turns-1 and jaccard = (t-1)/(t+1) in ppm
+    assert len(got) == 1
+    r = got[0]
+    assert (r.conv_a, r.conv_b) == ("c0", "c1")
+    assert r.n_common == turns - 1
+    assert r.jaccard_ppm == (1_000_000 * (turns - 1)) // (turns + 1)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    import __spark_entry__ as em
+
+    want = con.execute(em.oracle_sql()["q48_conv_neardup"]).fetchall()
+    assert [(r.conv_a, r.conv_b, r.n_common, r.jaccard_ppm) for r in got] == [
+        tuple(w) for w in want
+    ]
