@@ -396,6 +396,24 @@ def _memo_put(memo: dict, key: tuple, value, spark: SparkSession) -> None:
     memo[key] = value
 
 
+_SHINGLES_MEMO: dict = {}
+
+
+def _shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted + memoized DEFAULT-width (3-gram) distinct shingle table —
+    the base artifact underneath the band index. Built once per (session,
+    sf_dir); consumers: the band-index build and q08's verification probe
+    arms. Width/clustering variants (q17's cluster_by_s, q26's 13-gram)
+    stay un-memoized — they are single-consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SHINGLES_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _memo_put(_SHINGLES_MEMO, key, out, spark)
+    return out
+
+
 def _bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted + memoized (doc_id, band, sig) MinHash-LSH band index —
     the materialized dedup index, same discipline as the IVF assignment
@@ -409,7 +427,7 @@ def _bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _BANDS_MEMO.get(key)
     if hit is not None:
         return hit
-    out = _minhash_bands(_shingles(spark, sf_dir)).persist(
+    out = _minhash_bands(_shingles_table(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     _memo_put(_BANDS_MEMO, key, out, spark)
@@ -508,7 +526,7 @@ def _cand_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles_table(spark, sf_dir)
     pairs = _cand_pairs_table(spark, sf_dir)
     # Semi-join prefilter (VERDICT r4 #5): only shingles of docs that
     # actually hit a band bucket enter the verification joins. At 100 TB
@@ -522,7 +540,11 @@ def q08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    # persist: three consumers (sizes, both intersection-probe arms) would
+    # otherwise each re-run the tokenize + explode + semi-join chain
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
