@@ -5556,6 +5556,354 @@ SELECT
 """
 
 
+# --------------------------------------------------------------------------
+# q75 — PageRank over a deterministic link graph (crawl-frontier / source-
+# weighting centrality; Page et al. 1999). Each doc emits 3 out-links whose
+# targets are md5-derived over the contiguous doc_id domain (self-loops kept
+# so outdeg >= 1 — no dangling mass). Ranks are INTEGER, scaled by 10^12,
+# with the exact op order pinned on both engines: contrib = rank div outdeg
+# per edge, next = base + (85 * sum_contribs) div 100. K=5 power iterations;
+# the oracle unrolls them as 5 plain CTE levels (DuckDB's recursive CTE
+# disallows aggregates over the working table). Scale shape: edges and
+# nodes persist once; each iteration is ONE groupBy(dst) shuffle — at 100 TB
+# the edge table is bucketed by src and ranks co-partition with it, the
+# standard distributed-PageRank layout. Complements q16's label propagation
+# as the second iterative-join operator.
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_K = 5
+_PR_FANOUT = 3
+
+
+def q75_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # bounded scalar (q60/q61 precedent): one count parametrizes the hash
+    # modulus and the per-iteration base constant
+    n = docs.count()
+    base = (15 * _PR_SCALE) // (100 * n)
+    init = _PR_SCALE // n
+    nodes = docs.select("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    slots = nodes.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_PR_FANOUT - 1))).alias("j")
+    )
+    edges = (
+        slots.select(
+            F.col("doc_id").alias("src"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("pr"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("-"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_d = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = nodes.select("doc_id", F.lit(init).cast("long").alias("rank"))
+    for _ in range(_PR_K):
+        contribs = (
+            edges_d.join(ranks, edges_d["src"] == ranks["doc_id"])
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["doc_id"] == contribs["dst"], "left"
+        ).select(
+            "doc_id",
+            (F.lit(base) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+            .cast("long")
+            .alias("rank"),
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+        .select(F.col("doc_id").alias("node"), "rank")
+    )
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"pr{k - 1}"
+    return f"""pr{k} AS MATERIALIZED (
+  SELECT n.doc_id,
+         CAST((SELECT (15 * {_PR_SCALE}) // (100 * n) FROM nn)
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id, CAST(SUM(p.rank // e.outdeg) AS BIGINT) AS s
+    FROM {prev} p JOIN edges_d e ON e.src = p.doc_id GROUP BY e.dst) c
+  ON c.doc_id = n.doc_id)"""
+
+
+Q75_SQL = f"""
+WITH nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS src,
+         ('0x' || substring(md5('pr' || CAST(doc_id AS VARCHAR) || '-'
+                                 || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+           % (SELECT n FROM nn) AS dst
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, {_PR_FANOUT - 1})) AS j) g),
+edges_d AS MATERIALIZED (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) d
+    ON d.src = e.src),
+pr0 AS MATERIALIZED (
+  SELECT doc_id,
+         CAST((SELECT {_PR_SCALE} // n FROM nn) AS BIGINT) AS rank
+  FROM nodes),
+{",".join(_pr_iter_sql(k) for k in range(1, _PR_K + 1))}
+SELECT doc_id AS node, rank FROM pr{_PR_K}
+ORDER BY rank DESC, doc_id ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q76 — licensed-snippet containment audit (copyright / quote detection).
+# Jaccard-thresholded dedup (q08/q17) structurally misses the subset case:
+# a short licensed snippet quoted inside a long document has near-zero
+# Jaccard and no MinHash band collision (probed: every band-index candidate
+# pair in this corpus is an exact-dup, containment-only pairs never band-
+# collide). The production op is a CONTAINMENT probe: a snippet blocklist's
+# 3-gram shingles joined against the corpus shingle index, grouped per
+# (doc, snippet), flagging docs that contain >= 80% of a snippet's
+# shingles. The blocklist here is derived deterministically in-query (q25's
+# injected-PII discipline): every doc_id % 7 == 3 contributes its tokens
+# [5..14] as a 10-token snippet — so each snippet provably matches its
+# source (recall floor) plus any near-duplicates of it. Differs from q26
+# decontam (binary ANY-hit flag per doc) by per-pair containment scoring.
+# Scale shape: the blocklist side is tiny (a fraction of docs x 8
+# shingles) so AQE broadcasts it; the memoized corpus shingle table is
+# scanned once — same single-pass shape as q26/q54.
+# --------------------------------------------------------------------------
+
+def q76_snippet_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sn_sh = (
+        docs.filter((F.col("doc_id") % 7 == 3))
+        .select(
+            F.col("doc_id").alias("snippet_id"),
+            F.expr("slice(split(text, ' '), 5, 10)").alias("st"),
+        )
+        .filter(F.size("st") >= 10)
+        .select(
+            "snippet_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(st) - 3),"
+                    " i -> array_join(slice(st, i + 1, 3), ' '))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    n_sn = sn_sh.groupBy("snippet_id").agg(F.count("*").alias("n_sn"))
+    sh = _shingles_table(spark, sf_dir)
+    inter = (
+        sn_sh.join(sh, "s")
+        .groupBy("snippet_id", "doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(n_sn, "snippet_id")
+        .filter(5 * F.col("inter") >= 4 * F.col("n_sn"))
+        .select("snippet_id", "doc_id", "inter", "n_sn")
+    )
+
+
+Q76_SQL = """
+WITH sn AS (
+  SELECT doc_id AS snippet_id, (str_split(text, ' '))[5:14] AS st
+  FROM documents WHERE doc_id % 7 = 3 AND len(str_split(text, ' ')) >= 14
+),
+sn_sh AS (
+  SELECT DISTINCT snippet_id, st[i + 1] || ' ' || st[i + 2] || ' ' || st[i + 3] AS s
+  FROM sn, LATERAL (SELECT unnest(generate_series(0, len(st) - 3)) AS i) g
+),
+n_sn AS (SELECT snippet_id, COUNT(*) AS n_sn FROM sn_sh GROUP BY snippet_id),
+toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+inter AS (
+  SELECT a.snippet_id, b.doc_id, COUNT(*) AS inter
+  FROM sn_sh a JOIN sh b ON a.s = b.s
+  GROUP BY a.snippet_id, b.doc_id
+)
+SELECT i.snippet_id, i.doc_id, i.inter, n.n_sn
+FROM inter i JOIN n_sn n ON n.snippet_id = i.snippet_id
+WHERE 5 * i.inter >= 4 * n.n_sn
+"""
+
+
+# --------------------------------------------------------------------------
+# q77 — k-anonymity suppression rollup (privacy-safe corpus reporting).
+# Per-(lang, source) stats are only released for groups with >= K members;
+# smaller groups collapse into one '__suppressed__' row that still carries
+# their aggregate mass, so totals reconcile without exposing small cohorts.
+# Two exchanges: the corpus-scale groupBy (map-side combinable) and a
+# re-agg over the GROUP-cardinality table (~|lang|x|source| rows — tiny at
+# any corpus size, so the second exchange is bounded by construction).
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q77_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    return (
+        g.select(
+            F.when(F.col("n") >= _KANON_K, F.col("lang"))
+            .otherwise(F.lit("__suppressed__"))
+            .alias("lang_out"),
+            F.when(F.col("n") >= _KANON_K, F.col("source"))
+            .otherwise(F.lit("__suppressed__"))
+            .alias("source_out"),
+            "n",
+            "chars",
+        )
+        .groupBy("lang_out", "source_out")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("chars").alias("sum_chars"),
+            F.count("*").alias("n_groups"),
+        )
+    )
+
+
+Q77_SQL = f"""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang, source
+)
+SELECT CASE WHEN n >= {_KANON_K} THEN lang ELSE '__suppressed__' END AS lang_out,
+       CASE WHEN n >= {_KANON_K} THEN source ELSE '__suppressed__' END AS source_out,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_groups
+FROM g GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q78 — bucketed co-located join (the 100-TB metadata-to-vector join). Both
+# sides are written ONCE as bucketed+sorted tables (8 buckets on the join
+# key via bucketBy/sortBy + saveAsTable) and every subsequent join between
+# them is exchange-free AND sort-free: the bucketed scan satisfies the
+# sort-merge join's distribution and ordering requirements directly. This
+# is the layout a 100-TB embedding store ships with — bucket the fat vector
+# table once at write time, then every metadata join for the rest of the
+# corpus's life skips the shuffle. Plan pinned exchange-free up to the
+# final (tiny, per-label) aggregation by tests/test_plan_shapes.py.
+# --------------------------------------------------------------------------
+
+_BUCKETED_MEMO: dict = {}
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write documents + embeddings as bucketed/sorted catalog tables, once
+    per (session, sf_dir); returns the two table names. The write is the
+    one-time corpus-build cost the co-located join amortizes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BUCKETED_MEMO.get(key)
+    if hit is not None:
+        return hit
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_docs, t_emb = f"b_docs_{tag}", f"b_emb_{tag}"
+    # a fresh session's in-memory catalog has no record of a previous run's
+    # managed table, but its warehouse directory survives on disk — drop
+    # both, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (t_docs, t_emb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = Path(wh) / t
+        if loc.exists():
+            shutil.rmtree(loc)
+    # repartition on the bucket key before writing: bucket hashing and
+    # repartition hashing agree (Murmur3), so each task holds exactly its
+    # buckets' rows and writes ONE file per bucket — the condition under
+    # which Spark trusts the sortBy order and drops the SMJ's sorts
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(_N_BUCKETS, "doc_id")
+        .write.bucketBy(_N_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t_docs)
+    )
+    (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .repartition(_N_BUCKETS, "vec_id")
+        .write.bucketBy(_N_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t_emb)
+    )
+    _BUCKETED_MEMO[key] = (t_docs, t_emb)
+    return t_docs, t_emb
+
+
+def q78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # since 3.0 Spark only reports a bucketed scan's sortBy order under this
+    # flag (the guarantee needs one file per bucket, which _bucketed_tables'
+    # pre-write repartition ensures) — with it the SMJ drops its sorts too
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    t_docs, t_emb = _bucketed_tables(spark, sf_dir)
+    docs = spark.table(t_docs)
+    emb = spark.table(t_emb)
+    # merge hint: at gate scale the dim side fits the broadcast threshold
+    # and Spark would pick BHJ, hiding the layout this query exists to
+    # prove; at 100 TB both sides exceed it and SMJ is automatic. The hint
+    # makes the gate-scale plan match the at-scale plan: bucketed scans
+    # satisfy the SMJ's distribution AND ordering, so it runs with zero
+    # exchanges and zero sorts (pinned in tests/test_plan_shapes.py).
+    joined = docs.hint("merge").join(emb, docs["doc_id"] == emb["vec_id"])
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+Q78_SQL = """
+SELECT e.label, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       MIN(d.doc_id) AS min_doc
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -5631,6 +5979,10 @@ QUERIES = {
     "q72_snapshot_diff": q72_snapshot_diff,
     "q73_dedup_audit": q73_dedup_audit,
     "q74_curation_pipeline": q74_curation_pipeline,
+    "q75_pagerank": q75_pagerank,
+    "q76_snippet_containment": q76_snippet_containment,
+    "q77_k_anonymity": q77_k_anonymity,
+    "q78_bucketed_join": q78_bucketed_join,
 }
 
 ORACLES = {
@@ -5708,4 +6060,8 @@ ORACLES = {
     "q72_snapshot_diff": Q72_SQL,
     "q73_dedup_audit": Q73_SQL,
     "q74_curation_pipeline": Q74_SQL,
+    "q75_pagerank": Q75_SQL,
+    "q76_snippet_containment": Q76_SQL,
+    "q77_k_anonymity": Q77_SQL,
+    "q78_bucketed_join": Q78_SQL,
 }

@@ -55,6 +55,11 @@ _PINS = [
     ("q42_semdedup", 2, 0, False),
     ("q48_conv_neardup", 5, 0, False),
     ("q73_dedup_audit", 16, 3, True),  # BNLJ = bounded 1-row combines
+    # ---- round-5 additions
+    ("q75_pagerank", 10, 0, False),  # K=5 bounded iterations, 2 per iter
+    ("q76_snippet_containment", 4, 0, False),
+    ("q77_k_anonymity", 2, 0, False),  # 2nd exchange over tiny group table
+    ("q78_bucketed_join", 1, 0, False),  # only the final per-label agg
 ]
 
 
@@ -96,3 +101,23 @@ def test_plan_shape(spark, name, max_ex, max_single, allow_bnlj):
     assert single <= max_single, (
         f"{name}: {single} single-partition exchanges (pinned ≤ {max_single})"
     )
+
+
+def test_q78_bucketed_join_is_colocated(spark):
+    """The whole point of q78: both bucketed scans feed the sort-merge join
+    with NO exchange and NO sort — the layout pays for the join. The single
+    pinned exchange (test above) is the final per-label aggregation."""
+    df = Q.QUERIES["q78_bucketed_join"](spark, _SF)
+    p = df._jdf.queryExecution().executedPlan()
+    if p.nodeName() == "AdaptiveSparkPlan":
+        p = p.initialPlan()
+    names = []
+    stack = [p]
+    while stack:
+        n = stack.pop()
+        names.append(n.nodeName())
+        c = n.children()
+        for i in range(c.size()):
+            stack.append(c.apply(i))
+    assert "SortMergeJoin" in names
+    assert "Sort" not in names, names
