@@ -5904,6 +5904,61 @@ GROUP BY e.label
 """
 
 
+# --------------------------------------------------------------------------
+# q79 — n-gram novelty score (data valuation / contribution scoring). For
+# each doc: the fraction of its distinct 3-gram shingles whose FIRST
+# corpus occurrence (min doc_id) is this doc — a doc that mostly repeats
+# already-seen n-grams scores low and is a downsampling candidate; the
+# per-doc novelty mass is the standard cheap proxy for marginal training
+# value (the dedup-aware cousin of DSIR's importance weights, q68).
+# Integer ppm so Spark ≡ DuckDB exactly. Scale shape: one map-side-
+# combinable min-agg on the shingle key over the memoized shingle table,
+# one join back on s (both sides cluster on s — the agg's shuffle is
+# reused), one per-doc agg. No all-pairs anything.
+# --------------------------------------------------------------------------
+
+def q79_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_table(spark, sf_dir)
+    fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(fo, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+Q79_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g
+),
+fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN sh.doc_id = fo.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((1000000 * SUM(CASE WHEN sh.doc_id = fo.first_doc THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN fo ON fo.s = sh.s
+GROUP BY sh.doc_id
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -5983,6 +6038,7 @@ QUERIES = {
     "q76_snippet_containment": q76_snippet_containment,
     "q77_k_anonymity": q77_k_anonymity,
     "q78_bucketed_join": q78_bucketed_join,
+    "q79_novelty_score": q79_novelty_score,
 }
 
 ORACLES = {
@@ -6064,4 +6120,5 @@ ORACLES = {
     "q76_snippet_containment": Q76_SQL,
     "q77_k_anonymity": Q77_SQL,
     "q78_bucketed_join": Q78_SQL,
+    "q79_novelty_score": Q79_SQL,
 }

@@ -60,6 +60,7 @@ _PINS = [
     ("q76_snippet_containment", 4, 0, False),
     ("q77_k_anonymity", 2, 0, False),  # 2nd exchange over tiny group table
     ("q78_bucketed_join", 1, 0, False),  # only the final per-label agg
+    ("q79_novelty_score", 2, 0, False),  # s-agg shuffle reused by the join
 ]
 
 
