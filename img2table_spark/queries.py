@@ -4286,7 +4286,12 @@ _BM25_TERMS = [
 _BM25_K = 5
 
 
-def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, n_terms, dl) BM25-scored candidate table —
+    shared by q60 (top-k) and q81 (RRF fusion). Tiny by construction: only
+    docs containing a query term survive the post-explode filter. dl rides
+    the agg (constant per doc) so fusion re-ranks need no second corpus
+    scan."""
     docs = _t(spark, sf_dir, "documents")
     stats = (
         docs.select(F.size(F.split("text", " ")).alias("dl"))
@@ -4322,8 +4327,17 @@ def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("term_score").alias("score"), F.count("*").alias("n_terms"))
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").alias("n_terms"),
+            F.max("dl").alias("dl"),
+        )
     )
+    return scored
+
+
+def q60_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
@@ -5959,6 +5973,469 @@ GROUP BY sh.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q81 — reciprocal-rank fusion (RRF) hybrid re-ranking: the standard
+# retrieve-then-fuse step a curation/retrieval pipeline uses to combine
+# heterogeneous rankings (Cormack et al.'s rrf = Σ 1/(k + rank), k = 60).
+# Here: the BM25 ranking (q60's scored table) fused with a length-prior
+# ranking (dl desc) computed WITHIN each query's top-20 candidate pool —
+# retrieve-then-re-rank, so no second ranking ever touches the corpus.
+# Integer-exact: 10^6 div (60 + rank) summed over the two rankings.
+# Scale shape: the corpus appears only in _bm25_scored's post-explode
+# term filter; all three windows partition by query_id over ≤ 20-row
+# pools and share ONE hash partitioning (no extra exchange between
+# ranking, fusion, and final top-k).
+# --------------------------------------------------------------------------
+
+_RRF_POOL = 20  # BM25 candidate pool per query
+_RRF_C = 60  # the standard RRF dampening constant
+_RRF_K = 5  # fused results per query
+
+
+def q81_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    cand = scored.withColumn("rnk_bm25", F.row_number().over(w_bm)).filter(
+        F.col("rnk_bm25") <= _RRF_POOL
+    )
+    w_dl = Window.partitionBy("query_id").orderBy(
+        F.col("dl").desc(), F.col("doc_id").asc()
+    )
+    fused = cand.withColumn("rnk_dl", F.row_number().over(w_dl)).withColumn(
+        "rrf",
+        F.expr(
+            f"(1000000 div ({_RRF_C} + rnk_bm25))"
+            f" + (1000000 div ({_RRF_C} + rnk_dl))"
+        ),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.col("rrf").cast("long").alias("rrf_score"),
+            F.col("rnk_bm25").cast("long").alias("rnk_bm25"),
+            F.col("rnk_dl").cast("long").alias("rnk_dl"),
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+Q81_SQL = f"""
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+stats AS (SELECT SUM(len(t)) AS av, COUNT(*) AS nd FROM d),
+terms(query_id, tok) AS (VALUES {_BM25_VALUES}),
+toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM d),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, dl, tok),
+idf AS (
+  SELECT tok, (100 * (SELECT nd FROM stats)) // COUNT(*) AS idf_pct
+  FROM tf GROUP BY tok),
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         CAST(SUM(CAST((CAST(1000 AS HUGEINT) * i.idf_pct * f.tf * 22
+                   * (SELECT av FROM stats))
+                  // (CAST(10 AS HUGEINT) * (SELECT av FROM stats) * f.tf
+                      + 3 * (SELECT av FROM stats)
+                      + 9 * f.dl * (SELECT nd FROM stats)) AS BIGINT))
+           AS BIGINT) AS score,
+         MAX(f.dl) AS dl
+  FROM tf f JOIN idf i USING (tok) JOIN terms q USING (tok)
+  GROUP BY q.query_id, f.doc_id),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk_bm25
+    FROM scored) z
+  WHERE rnk_bm25 <= {_RRF_POOL}),
+fused AS (
+  SELECT *, 1000000 // ({_RRF_C} + rnk_bm25)
+            + 1000000 // ({_RRF_C} + rnk_dl) AS rrf
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY dl DESC, doc_id ASC) AS rnk_dl
+    FROM cand) z)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rrf AS BIGINT) AS rrf_score,
+       CAST(rnk_bm25 AS BIGINT) AS rnk_bm25,
+       CAST(rnk_dl AS BIGINT) AS rnk_dl,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+  FROM fused) z
+WHERE fused_rank <= {_RRF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q82 — BPE merge induction (Sennrich et al. tokenizer training): K = 3
+# unrolled merge iterations over the word-frequency vocabulary. The
+# classic algorithm runs on the DISTINCT-WORD table, not the corpus: one
+# corpus-scale map-side-combinable word-count agg, then every iteration
+# touches only the vocabulary (≪ corpus — q31's assumption). Per step:
+# weighted adjacent-pair counts over each word's symbol string, global
+# top-1 by (count DESC, pair ASC) via orderBy().limit(1) (distributed
+# TakeOrdered, no single-partition window), merge applied as a broadcast
+# 1-row crossJoin (the documented bounded-BNLJ combine) + string replace.
+# Symbol strings join symbols with TWO spaces and pad one space per end at
+# replace time, so each match consumes one space from each neighbouring
+# separator and the replacement restores it — adjacent occurrences
+# ("a b a b") merge in one pass and a symbol can never match inside a
+# longer symbol. Merge order is the greedy non-overlapping left-to-right
+# variant ("a a a" → "aa a"), identical on both engines (verified:
+# replace() scans the original string left-to-right in both). Each output
+# row carries token_mass = Σ freq·|symbols| AFTER the merge — a
+# full-vocabulary checksum that every word's repr was rewritten
+# correctly, not just the winning pair. Third iterative operator beside
+# LP (q16) and PageRank (q75); like q75 the iteration count is a
+# constant, so the oracle unrolls as CTE levels (MATERIALIZED — the
+# q73/q74 lesson).
+# --------------------------------------------------------------------------
+
+_BPE_STEPS = 3
+
+
+def q82_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("repr", F.expr("array_join(split(word, ''), '  ')"))
+        # persist each vocab generation: it feeds THREE branches (pair
+        # counts, the rewritten next generation, and the mass checksum) —
+        # unpersisted, every branch replays the whole chain back to the
+        # corpus scan. The vocab is bounded (distinct words ≪ corpus), so
+        # this is the LP-labels iterative-persist discipline, not a cache
+        # of corpus-scale data.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = None
+    for step in range(1, _BPE_STEPS + 1):
+        toks = vocab.select(
+            "freq", F.split("repr", "  ").alias("t")
+        ).filter(F.size("t") >= 2)
+        pairs = toks.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " j -> struct(t[j] AS a, t[j + 1] AS b))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        vocab = vocab.crossJoin(
+            F.broadcast(top.select(
+                F.col("a").alias("ma"), F.col("b").alias("mb")
+            ))
+        ).select(
+            "word",
+            "freq",
+            F.expr(
+                "trim(replace(concat(' ', repr, ' '),"
+                " concat(' ', ma, '  ', mb, ' '),"
+                " concat(' ', ma, mb, ' ')))"
+            ).alias("repr"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        mass = vocab.agg(
+            F.sum(F.expr("freq * size(split(repr, '  '))")).alias("token_mass")
+        )
+        row = top.crossJoin(mass).select(
+            F.lit(step).cast("long").alias("step"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+            "token_mass",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _bpe_sql_level(i: int) -> str:
+    """One unrolled BPE merge level: pairs from v{i-1}, top-1 merge m{i},
+    rewritten vocab v{i}, post-merge mass s{i}."""
+    return f"""
+p{i} AS (
+  SELECT t[j + 1] AS a, t[j + 2] AS b, SUM(freq) AS cnt
+  FROM (SELECT freq, str_split(repr, '  ') AS t FROM v{i - 1}
+        WHERE len(str_split(repr, '  ')) >= 2) z,
+       LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS j) g
+  GROUP BY a, b),
+m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace(' ' || repr || ' ',
+                      ' ' || m.a || '  ' || m.b || ' ',
+                      ' ' || m.a || m.b || ' ')) AS repr
+  FROM v{i - 1}, m{i} m),
+s{i} AS (
+  SELECT CAST(SUM(freq * len(str_split(repr, '  '))) AS BIGINT) AS token_mass
+  FROM v{i})"""
+
+
+Q82_SQL = (
+    """
+WITH words AS (
+  SELECT tok AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) z
+  GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(str_split(word, ''), '  ') AS repr
+  FROM words),"""
+    + ",".join(_bpe_sql_level(i) for i in range(1, _BPE_STEPS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count, token_mass"
+        f" FROM m{i} CROSS JOIN s{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# q83 — weighted stratified sampling via distributed two-level top-k: pick
+# the k highest-priority docs per language stratum, where priority is the
+# integer Efraimidis–Spirakis analog key = hash div weight (weight =
+# n_chars, so long docs are proportionally more likely to win; smaller
+# key = higher priority; deterministic — md5 of a seeded doc_id, the q70
+# discipline — and monotone in weight, documented as the log-free integer
+# variant of u^(1/w) priority sampling).
+# Scale shape: the naive plan is one window per stratum — |lang| is tiny,
+# so each window partition is corpus/|lang| rows: the classic
+# low-cardinality-key window skew. Instead top-k is TWO-LEVEL (q67's
+# bucketing discipline applied to ranking): level 1 ranks within (lang,
+# bucket = doc_id % 16) — 16× the parallelism, each sort 1/16 the
+# stratum — and level 2 re-ranks the ≤ 16·k survivors per lang. Exact:
+# the global top-k is a subset of the union of per-bucket top-k. At
+# cluster scale B scales with executor count and the level-2 window is
+# over B·k rows per stratum, never the corpus.
+# --------------------------------------------------------------------------
+
+_Q83_SEED = "q83:"
+_Q83_K = 10
+_Q83_BUCKETS = 16
+
+
+def q83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_Q83_SEED), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("prio"),
+    ).select(
+        "doc_id",
+        "lang",
+        "w",
+        F.expr("prio div w").alias("k"),
+        (F.col("doc_id") % _Q83_BUCKETS).alias("bucket"),
+    )
+    w1 = Window.partitionBy("lang", "bucket").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    survivors = keyed.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= _Q83_K
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _Q83_K)
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            F.col("k").alias("priority_key"),
+        )
+    )
+
+
+Q83_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, GREATEST(n_chars, 1) AS w,
+         ('0x' || substring(md5('{_Q83_SEED}' || CAST(doc_id AS VARCHAR)),
+                            1, 12))::BIGINT AS prio,
+         doc_id % {_Q83_BUCKETS} AS bucket
+  FROM documents),
+scored AS (SELECT doc_id, lang, w, prio // w AS k, bucket FROM keyed),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang, bucket ORDER BY k ASC, doc_id ASC) AS r1
+    FROM scored) z
+  WHERE r1 <= {_Q83_K})
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, CAST(w AS BIGINT) AS w,
+       k AS priority_key
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY k ASC, doc_id ASC) AS rank
+  FROM survivors) z
+WHERE rank <= {_Q83_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q84 — SQ8 scalar quantization of the embedding store (the FAISS
+# ScalarQuantizer shape): per-dimension [min, max] trained on the corpus,
+# each coordinate encoded to an 8-bit level, decoded as the level's
+# round-nearest midpoint, with per-vector code checksum + reconstruction
+# error. Runs on the IVF path's integer-quantized coordinates
+# (floor(x·10⁶ + ½), _QUANT_EXPR) so every step is integer floor/round
+# division — Spark ≡ DuckDB bit-exact, no float drift:
+#   code  = ((x − mn)·255) div (mx − mn)            (0 when mx = mn)
+#   recon = mn + (2·code·(mx − mn) + 255) div 510   (round-half-up)
+# Scale shape: the trainer is ONE map-side-combinable per-dimension
+# min/max agg (64 output rows), broadcast back onto the posexplode — the
+# same broadcast-codebook discipline as IVF assignment; the per-vector
+# re-agg clusters on vec_id. At 100 TB: train on a sample instead (the
+# IVF sampling pattern), clamp codes at encode time — the clamp is a
+# no-op here because min/max come from the same corpus (documented).
+# --------------------------------------------------------------------------
+
+
+def q84_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qe = _quantized_emb(spark, sf_dir).select("vec_id", "qv")
+    ex = qe.select(
+        "vec_id", F.posexplode("qv").alias("j", "x")
+    )
+    stats = ex.groupBy("j").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = ex.join(F.broadcast(stats), "j").select(
+        "vec_id",
+        "j",
+        "x",
+        "mn",
+        F.expr(
+            "CASE WHEN mx = mn THEN 0"
+            " ELSE ((x - mn) * 255) div (mx - mn) END"
+        ).alias("code"),
+        (F.col("mx") - F.col("mn")).alias("scale"),
+    ).withColumn(
+        "recon", F.expr("mn + (2 * code * scale + 255) div 510")
+    )
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("(j + 1) * code")).alias("code_checksum"),
+            F.max(F.expr("abs(x - recon)")).alias("max_abs_err"),
+            F.sum(F.expr("(x - recon) * (x - recon)")).alias("sq_err"),
+        )
+        .select(
+            "vec_id",
+            F.col("code_checksum").cast("long").alias("code_checksum"),
+            F.col("max_abs_err").cast("long").alias("max_abs_err"),
+            F.col("sq_err").cast("long").alias("sq_err"),
+        )
+    )
+
+
+Q84_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS qv
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, u.j, u.x
+  FROM e, LATERAL (SELECT unnest(qv) AS x,
+                          unnest(generate_series(0, len(qv) - 1)) AS j) u),
+stats AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY j),
+coded AS (
+  SELECT vec_id, ex.j, x, mn,
+         CASE WHEN mx = mn THEN 0
+              ELSE ((x - mn) * 255) // (mx - mn) END AS code,
+         mx - mn AS scale
+  FROM ex JOIN stats ON stats.j = ex.j),
+recon AS (
+  SELECT vec_id, j, x, code,
+         mn + (2 * code * scale + 255) // 510 AS recon
+  FROM coded)
+SELECT vec_id,
+       CAST(SUM((j + 1) * code) AS BIGINT) AS code_checksum,
+       CAST(MAX(abs(x - recon)) AS BIGINT) AS max_abs_err,
+       CAST(SUM((x - recon) * (x - recon)) AS BIGINT) AS sq_err
+FROM recon GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q80 — hierarchical rollup (GROUPING SETS). The dataset-card aggregation:
+# one pass emits per-(lang, source) stats, per-lang subtotals, and the
+# grand total, disambiguated by grouping_id (Spark's grouping_id() and
+# DuckDB's GROUPING(lang, source) use the same bit encoding — first key =
+# MSB; verified 0/1/3 on both engines). NULL group keys are coalesced to
+# '(all)' AFTER the gid is computed, so a real NULL in the data could
+# never be confused with a subtotal row. avg chars is floor-div so the
+# row values are integer-exact cross-engine.
+# Scale shape: ROLLUP compiles to a single Expand + hash aggregate —
+# ONE corpus-scale shuffle, map-side combinable (each input row expands
+# to 3 grouping-set rows BEFORE the partial agg, so the shuffle carries
+# only group cells, never data rows). The standard one-pass replacement
+# for running three separate aggregation jobs over 100 TB.
+# --------------------------------------------------------------------------
+
+
+def q80_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_docs",
+            "total_chars",
+            F.expr("total_chars div n_docs").alias("avg_chars"),
+        )
+    )
+
+
+Q80_SQL = """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -6039,6 +6516,11 @@ QUERIES = {
     "q77_k_anonymity": q77_k_anonymity,
     "q78_bucketed_join": q78_bucketed_join,
     "q79_novelty_score": q79_novelty_score,
+    "q80_rollup_stats": q80_rollup_stats,
+    "q81_rrf_fusion": q81_rrf_fusion,
+    "q82_bpe_merges": q82_bpe_merges,
+    "q83_weighted_sample": q83_weighted_sample,
+    "q84_sq8_quantize": q84_sq8_quantize,
 }
 
 ORACLES = {
@@ -6121,4 +6603,9 @@ ORACLES = {
     "q77_k_anonymity": Q77_SQL,
     "q78_bucketed_join": Q78_SQL,
     "q79_novelty_score": Q79_SQL,
+    "q80_rollup_stats": Q80_SQL,
+    "q81_rrf_fusion": Q81_SQL,
+    "q82_bpe_merges": Q82_SQL,
+    "q83_weighted_sample": Q83_SQL,
+    "q84_sq8_quantize": Q84_SQL,
 }

@@ -61,6 +61,15 @@ _PINS = [
     ("q77_k_anonymity", 2, 0, False),  # 2nd exchange over tiny group table
     ("q78_bucketed_join", 1, 0, False),  # only the final per-label agg
     ("q79_novelty_score", 2, 0, False),  # s-agg shuffle reused by the join
+    ("q80_rollup_stats", 1, 0, False),  # ROLLUP = ONE Expand + hash agg
+    ("q81_rrf_fusion", 3, 0, False),  # tf persist + agg + shared window
+    # q82: cold tree walks the full unrolled 3-level lineage (persists not
+    # yet materialized); single-partition exchanges are the three limit(1)
+    # top-pair folds (≤ n_partitions rows in), BNLJs are the documented
+    # 1-row merge/mass combines.
+    ("q82_bpe_merges", 42, 3, True),
+    ("q83_weighted_sample", 2, 0, False),  # two-level top-k: bucketed + tiny
+    ("q84_sq8_quantize", 2, 0, False),  # min/max agg + vec_id re-agg
 ]
 
 
