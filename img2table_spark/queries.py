@@ -6103,23 +6103,24 @@ WHERE fused_rank <= {_RRF_K}
 _BPE_STEPS = 3
 
 
-def q82_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_chain(spark: SparkSession, sf_dir: str) -> list:
+    """The BPE merge chain: [(vocab_after_step_i, top_pair_i)] for steps
+    1.._BPE_STEPS. Every vocab generation is persisted — it feeds THREE
+    branches (pair counts, the rewritten next generation, and q82's mass
+    checksum); unpersisted, each branch replays the whole chain back to
+    the corpus scan. The vocab is bounded (distinct words ≪ corpus), so
+    this is the LP-labels iterative-persist discipline, not a cache of
+    corpus-scale data. Shared by q82 (training output) and q85 (encode)."""
     docs = _t(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .withColumn("repr", F.expr("array_join(split(word, ''), '  ')"))
-        # persist each vocab generation: it feeds THREE branches (pair
-        # counts, the rewritten next generation, and the mass checksum) —
-        # unpersisted, every branch replays the whole chain back to the
-        # corpus scan. The vocab is bounded (distinct words ≪ corpus), so
-        # this is the LP-labels iterative-persist discipline, not a cache
-        # of corpus-scale data.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out = None
-    for step in range(1, _BPE_STEPS + 1):
+    steps = []
+    for _step in range(_BPE_STEPS):
         toks = vocab.select(
             "freq", F.split("repr", "  ").alias("t")
         ).filter(F.size("t") >= 2)
@@ -6151,6 +6152,13 @@ def q82_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " concat(' ', ma, mb, ' ')))"
             ).alias("repr"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        steps.append((vocab, top))
+    return steps
+
+
+def q82_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for step, (vocab, top) in enumerate(_bpe_chain(spark, sf_dir), start=1):
         mass = vocab.agg(
             F.sum(F.expr("freq * size(split(repr, '  '))")).alias("token_mass")
         )
@@ -6388,6 +6396,238 @@ FROM recon GROUP BY vec_id
 
 
 # --------------------------------------------------------------------------
+# q85 — BPE encode (tokenizer APPLICATION): apply q82's learned merges to
+# the whole corpus and report per-doc BPE token counts + a vocabulary-
+# checksummed repr hash. The train→apply pairing: training (q82) runs on
+# the bounded word-frequency vocab; application is ONE corpus-scale
+# equi-join of the exploded (doc_id, word) stream against the final
+# vocab generation's (word → n_symbols, repr-hash) — vocab ≪ corpus, so
+# the gate-scale plan broadcasts it and the 100-TB plan takes the SMJ on
+# word, which is exactly the broadcast→SMJ transition the sf1 stress gate
+# exists to prove. Per-doc agg: n_words, Σ n_symbols (the BPE token
+# count), Σ 48-bit repr hash (order-invariant multiset checksum that
+# pins every word's merged repr, not just counts), compression in ppm
+# vs chars. Integer-exact throughout.
+# --------------------------------------------------------------------------
+
+
+def q85_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = _bpe_chain(spark, sf_dir)[-1][0]
+    final_vocab = vocab.select(
+        "word",
+        F.expr("size(split(repr, '  '))").cast("long").alias("n_syms"),
+        F.conv(F.substring(F.md5("repr"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("rhash"),
+    )
+    dw = docs.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        dw.join(final_vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.sum("rhash").alias("repr_checksum"),
+            F.max("n_chars").alias("nc"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "repr_checksum",
+            F.expr(
+                "(1000000 * n_bpe_tokens) div greatest(nc, 1)"
+            ).alias("tokens_per_char_ppm"),
+        )
+    )
+
+
+Q85_SQL = (
+    """
+WITH words AS (
+  SELECT tok AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) z
+  GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(str_split(word, ''), '  ') AS repr
+  FROM words),"""
+    + ",".join(_bpe_sql_level(i) for i in range(1, _BPE_STEPS + 1))
+    + f""",
+fv AS (
+  SELECT word, CAST(len(str_split(repr, '  ')) AS BIGINT) AS n_syms,
+         ('0x' || substring(md5(repr), 1, 12))::BIGINT AS rhash
+  FROM v{_BPE_STEPS}),
+dw AS (
+  SELECT doc_id, n_chars, unnest(str_split(text, ' ')) AS word
+  FROM documents)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(rhash) AS BIGINT) AS repr_checksum,
+       CAST((1000000 * SUM(n_syms)) // GREATEST(MAX(n_chars), 1) AS BIGINT)
+         AS tokens_per_char_ppm
+FROM dw JOIN fv USING (word)
+GROUP BY doc_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# q86 — Bloom-filter semi-join prefilter (the runtime-filter pattern AQE
+# injects for selective joins, built explicitly so its cost/accuracy is
+# observable): a small blocklist's content keys are folded into a
+# 1024-bit Bloom filter (32 × 32-bit words, 4 probes from disjoint md5
+# hex substrings — fixed-size mergeable state, the q55/q56 sketch
+# family), and the corpus is probed WITHOUT A SHUFFLE: the 4 probe
+# positions are computed as columns and resolved by 4 broadcast joins
+# against the ≤ 32-row word table — the probe side never exchanges.
+# Per-lang accounting compares the Bloom verdict against the exact
+# broadcast semi-join: n_false_pos (the cost of the prefilter) and
+# n_missed, which the Bloom construction guarantees is 0 — carried as a
+# column so the no-false-negative invariant is pinned in data, on both
+# engines. At 100 TB the filter build is a map-side-combinable bit_or
+# agg over the (small) blocklist and the probe is a pure map under the
+# broadcast — rows surviving the prefilter (member ∪ false-pos) are the
+# only ones that reach the expensive exact join.
+# --------------------------------------------------------------------------
+
+_BLOOM_WORDS = 32  # 32 × 32-bit words = 1024 bits
+_BLOOM_OFFS = (1, 4, 7, 10)  # md5 hex substring offsets, 3 digits each
+
+
+def _bloom_pos_exprs(key_col: str) -> list:
+    """The 4 (word_idx, mask) probe-position column pairs for a hex-md5
+    key column: 12 bits per probe from disjoint substrings, mod 1024."""
+    out = []
+    for i, off in enumerate(_BLOOM_OFFS, start=1):
+        pos = (
+            f"pmod(cast(conv(substring({key_col}, {off}, 3), 16, 10)"
+            f" AS int), {_BLOOM_WORDS * 32})"
+        )
+        out.append(
+            (
+                F.expr(f"({pos}) div 32").alias(f"w{i}"),
+                F.expr(
+                    f"shiftleft(cast(1 AS bigint), ({pos}) % 32)"
+                ).alias(f"m{i}"),
+            )
+        )
+    return out
+
+
+def q86_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("k")
+    )
+    # skeys feeds SIX branches (4 bloom-word unions + the exact-membership
+    # probe + the build) — persist it or each branch replays the corpus
+    # scan. It is blocklist-sized by construction (1/53 of docs, distinct).
+    skeys = (
+        docs.filter(F.col("doc_id") % 53 == 0)
+        .select("k")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pos = _bloom_pos_exprs("k")
+    bits = None
+    for w, m in pos:
+        part = skeys.select(w.alias("w"), m.alias("m"))
+        bits = part if bits is None else bits.unionByName(part)
+    bloom = (
+        bits.groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # read by 4 broadcast builds
+    )
+    probe = docs.select("doc_id", "lang", "k", *[c for wm in pos for c in wm])
+    for i in range(1, 5):
+        f = F.broadcast(
+            bloom.select(
+                F.col("w").alias(f"fw{i}"), F.col("bits").alias(f"fb{i}")
+            )
+        )
+        probe = probe.join(f, F.col(f"w{i}") == F.col(f"fw{i}"), "left")
+    member = F.broadcast(
+        skeys.select(F.col("k").alias("mk"), F.lit(1).alias("mem"))
+    )
+    flagged = probe.join(member, F.col("k") == F.col("mk"), "left").select(
+        "lang",
+        F.coalesce("mem", F.lit(0)).alias("is_member"),
+        F.expr(
+            "CASE WHEN (coalesce(fb1, 0) & m1) != 0"
+            " AND (coalesce(fb2, 0) & m2) != 0"
+            " AND (coalesce(fb3, 0) & m3) != 0"
+            " AND (coalesce(fb4, 0) & m4) != 0 THEN 1 ELSE 0 END"
+        ).alias("bloom_pass"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_member").alias("n_member"),
+        F.sum("bloom_pass").alias("n_bloom_pass"),
+        F.sum(
+            F.expr("CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END")
+        ).alias("n_false_pos"),
+        F.sum(
+            F.expr("CASE WHEN is_member = 1 AND bloom_pass = 0 THEN 1 ELSE 0 END")
+        ).alias("n_missed"),
+    )
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    off = _BLOOM_OFFS[i - 1]
+    return (
+        f"(('0x' || substring({key}, {off}, 3))::BIGINT"
+        f" % {_BLOOM_WORDS * 32})"
+    )
+
+
+Q86_SQL = f"""
+WITH d AS (SELECT doc_id, lang, md5(text) AS k FROM documents),
+skeys AS (SELECT DISTINCT k FROM d WHERE doc_id % 53 = 0),
+bits AS (
+  {" UNION ALL ".join(
+      f"SELECT {_bloom_pos_sql('k', i)} // 32 AS w,"
+      f" (CAST(1 AS BIGINT) << ({_bloom_pos_sql('k', i)} % 32)) AS m"
+      f" FROM skeys"
+      for i in range(1, 5)
+  )}),
+bloom AS (SELECT w, bit_or(m) AS bits FROM bits GROUP BY w),
+probe AS (
+  SELECT d.doc_id, d.lang, d.k,
+         {", ".join(
+             f"{_bloom_pos_sql('d.k', i)} // 32 AS w{i},"
+             f" (CAST(1 AS BIGINT) << ({_bloom_pos_sql('d.k', i)} % 32)) AS m{i}"
+             for i in range(1, 5)
+         )}
+  FROM d),
+flagged AS (
+  SELECT p.lang,
+         CASE WHEN s.k IS NULL THEN 0 ELSE 1 END AS is_member,
+         CASE WHEN (COALESCE(f1.bits, 0) & p.m1) != 0
+                AND (COALESCE(f2.bits, 0) & p.m2) != 0
+                AND (COALESCE(f3.bits, 0) & p.m3) != 0
+                AND (COALESCE(f4.bits, 0) & p.m4) != 0
+              THEN 1 ELSE 0 END AS bloom_pass
+  FROM probe p
+  LEFT JOIN bloom f1 ON f1.w = p.w1
+  LEFT JOIN bloom f2 ON f2.w = p.w2
+  LEFT JOIN bloom f3 ON f3.w = p.w3
+  LEFT JOIN bloom f4 ON f4.w = p.w4
+  LEFT JOIN skeys s ON s.k = p.k)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(is_member) AS BIGINT) AS n_member,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_member = 1 AND bloom_pass = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missed
+FROM flagged GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # q80 — hierarchical rollup (GROUPING SETS). The dataset-card aggregation:
 # one pass emits per-(lang, source) stats, per-lang subtotals, and the
 # grand total, disambiguated by grouping_id (Spark's grouping_id() and
@@ -6521,6 +6761,8 @@ QUERIES = {
     "q82_bpe_merges": q82_bpe_merges,
     "q83_weighted_sample": q83_weighted_sample,
     "q84_sq8_quantize": q84_sq8_quantize,
+    "q85_bpe_encode": q85_bpe_encode,
+    "q86_bloom_prefilter": q86_bloom_prefilter,
 }
 
 ORACLES = {
@@ -6608,4 +6850,6 @@ ORACLES = {
     "q82_bpe_merges": Q82_SQL,
     "q83_weighted_sample": Q83_SQL,
     "q84_sq8_quantize": Q84_SQL,
+    "q85_bpe_encode": Q85_SQL,
+    "q86_bloom_prefilter": Q86_SQL,
 }

@@ -63,13 +63,16 @@ _PINS = [
     ("q79_novelty_score", 2, 0, False),  # s-agg shuffle reused by the join
     ("q80_rollup_stats", 1, 0, False),  # ROLLUP = ONE Expand + hash agg
     ("q81_rrf_fusion", 3, 0, False),  # tf persist + agg + shared window
-    # q82: cold tree walks the full unrolled 3-level lineage (persists not
-    # yet materialized); single-partition exchanges are the three limit(1)
-    # top-pair folds (≤ n_partitions rows in), BNLJs are the documented
-    # 1-row merge/mass combines.
-    ("q82_bpe_merges", 42, 3, True),
+    # q82: the persisted vocab generations root each branch at an
+    # InMemoryTableScan, so the walk sees only the live per-level work:
+    # 3 mass aggs + 3 limit(1) top-pair folds (the single-partition
+    # exchanges, ≤ n_partitions rows in); BNLJs are the documented 1-row
+    # merge/mass combines.
+    ("q82_bpe_merges", 6, 3, True),
     ("q83_weighted_sample", 2, 0, False),  # two-level top-k: bucketed + tiny
     ("q84_sq8_quantize", 2, 0, False),  # min/max agg + vec_id re-agg
+    ("q85_bpe_encode", 1, 0, False),  # encode = broadcast-vocab map + agg
+    ("q86_bloom_prefilter", 1, 0, False),  # shuffle-free probe, 1 lang agg
 ]
 
 
