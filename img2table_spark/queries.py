@@ -389,10 +389,16 @@ def _memo_put(memo: dict, key: tuple, value, spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in memo if k[0] != app_id]:
         old = memo.pop(stale)
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # owning session already gone — nothing to release
+        # a memo value is either one DataFrame or a structure of them
+        # (the BPE chain stores [(vocab, top), ...])
+        dfs = [old] if hasattr(old, "unpersist") else [
+            d for step in old for d in step if hasattr(d, "unpersist")
+        ]
+        for d in dfs:
+            try:
+                d.unpersist()
+            except Exception:
+                pass  # owning session already gone — nothing to release
     memo[key] = value
 
 
@@ -6102,6 +6108,8 @@ WHERE fused_rank <= {_RRF_K}
 
 _BPE_STEPS = 3
 
+_BPE_MEMO: dict = {}
+
 
 def _bpe_chain(spark: SparkSession, sf_dir: str) -> list:
     """The BPE merge chain: [(vocab_after_step_i, top_pair_i)] for steps
@@ -6110,7 +6118,13 @@ def _bpe_chain(spark: SparkSession, sf_dir: str) -> list:
     checksum); unpersisted, each branch replays the whole chain back to
     the corpus scan. The vocab is bounded (distinct words ≪ corpus), so
     this is the LP-labels iterative-persist discipline, not a cache of
-    corpus-scale data. Shared by q82 (training output) and q85 (encode)."""
+    corpus-scale data. Shared by q82 (training output) and q85 (encode)
+    and memoized per (session, sf_dir) like the band/IVF indexes — a
+    tokenizer is trained once per corpus and applied many times."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
     docs = _t(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -6153,6 +6167,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str) -> list:
             ).alias("repr"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         steps.append((vocab, top))
+    _memo_put(_BPE_MEMO, key, steps, spark)
     return steps
 
 
