@@ -6691,6 +6691,337 @@ GROUP BY ROLLUP(lang, source)
 """
 
 
+# --------------------------------------------------------------------------
+# q87 — distributed full-corpus k-means (Lloyd's over the ENTIRE embedding
+# table, not a sample). The IVF trainer (q15/q18/q42) is sample-based by
+# design: it collects max(4096, 64·k) rows and irons out a codebook on the
+# driver — the right INDEX-BUILD shape. Topic/style clustering for data
+# curation (cluster-balanced sampling, per-cluster quality audits, DoReMi-
+# style domain discovery) instead trains on every row. The distributed
+# iteration shape (what MLlib's KMeans does):
+#   (1) assignment — broadcast k×d codebook, vectorized Arrow argmin,
+#       ZERO shuffle (the q15 assignment discipline: never embed the
+#       codebook as plan literals, never fan out n×k join rows);
+#   (2) centroid update — posexplode the d dims, ONE map-side-combinable
+#       groupBy(cid, dim) agg whose output is ≤ k·d cells (512 here),
+#       collected to the driver to seed the next broadcast. The collect is
+#       bounded by k·d, never by n — the per-iteration driver round-trip
+#       every distributed k-means pays.
+# K iterations therefore cost K corpus-scale shuffles of k·d cells each —
+# the floor for exact Lloyd's. Arithmetic is integer-exact end-to-end
+# (quantized embeddings, floor(sum/count) centroid updates, argmin ties →
+# lowest cid), so the DuckDB oracle replays the iterations as unrolled
+# CTEs bit-for-bit. Per-point distances fit int64 (≤ 4·d·Q² ≈ 9.2e13);
+# inertia is accumulated in decimal(38,0) (the ANSI overflow discipline)
+# and reported as mean_sqdist = floor(sum/n_pts) < 2^53. Seeds = the k
+# rows with smallest vec_id. Dim sums stay < 2^53 up to ~9e6 rows per
+# cluster at Q = 1e6; past that the update agg would switch to
+# decimal(38,0) cells like the inertia column.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def q87_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+
+    import numpy as np
+
+    emb = (
+        _quantized_emb(spark, sf_dir)
+        .select("vec_id", "qv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # bounded: exactly k rows (the q60/q61 driver-scalar contract)
+    seeds = emb.orderBy("vec_id").limit(_KM_K).collect()
+    cents = np.array(
+        [r["qv"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
+        dtype=np.int64,
+    )
+
+    def _cid_udf(book):
+        bc = spark.sparkContext.broadcast(book)
+
+        @F.pandas_udf("long")
+        def cid_of(qv: pd.Series) -> pd.Series:
+            P = np.array(qv.tolist(), dtype=np.int64)
+            return pd.Series(
+                _sq_dists(P, bc.value).argmin(axis=1).astype(np.int64)
+            )
+
+        return cid_of
+
+    for _ in range(_KM_ITERS):
+        assigned = emb.withColumn("cid", _cid_udf(cents)(F.col("qv")))
+        cells = (
+            assigned.select("cid", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sm"), F.count("*").alias("cnt"))
+            .collect()  # bounded: ≤ k·d rows
+        )
+        nxt = cents.copy()  # empty cluster keeps its centroid
+        for r in cells:
+            nxt[int(r["cid"])][int(r["dim"])] = int(
+                math.floor(int(r["sm"]) / int(r["cnt"]))
+            )
+        cents = nxt
+
+    bcf = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("long")
+    def min_d2(qv: pd.Series) -> pd.Series:
+        P = np.array(qv.tolist(), dtype=np.int64)
+        return pd.Series(
+            _sq_dists(P, bcf.value).min(axis=1).astype(np.int64)
+        )
+
+    final = emb.withColumn("cid", _cid_udf(cents)(F.col("qv"))).withColumn(
+        "d2", min_d2(F.col("qv"))
+    )
+    sums = final.groupBy("cid").agg(
+        F.count("*").alias("n_pts"),
+        F.expr(
+            "CAST(sum(CAST(d2 AS DECIMAL(38,0))) div count(*) AS LONG)"
+        ).alias("mean_sqdist"),
+    )
+    checks = spark.createDataFrame(
+        [
+            (
+                int(c),
+                hashlib.md5(
+                    ",".join(str(int(x)) for x in cents[c]).encode()
+                ).hexdigest(),
+            )
+            for c in range(_KM_K)
+        ],
+        "cid long, cent_md5 string",
+    )
+    return sums.join(F.broadcast(checks), "cid").select(
+        "cid", "n_pts", "mean_sqdist", "cent_md5"
+    )
+
+
+def _km_sql_ctes() -> str:
+    sqdist = (
+        "list_sum(list_transform(generate_series(1, len({a}.qv)), "
+        "i -> ({a}.qv[i] - {c}.cv[i]) * ({a}.qv[i] - {c}.cv[i])))"
+    )
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+kcent0 AS MATERIALIZED (
+  SELECT rn - 1 AS cid, qv AS cv FROM (
+    SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+  WHERE rn <= {_KM_K})"""
+    ]
+    prev = "kcent0"
+    for t in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""kassign{t} AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sqdist.format(a='e', c='c')} ASC, c.cid ASC) AS rk
+    FROM e, {prev} c) WHERE rk = 1),
+knewc{t} AS MATERIALIZED (
+  SELECT cid, list(CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) ORDER BY dim) AS cv
+  FROM (
+    SELECT a.cid, d.i AS dim, SUM(a.qv[d.i]) AS sm, COUNT(*) AS cnt
+    FROM kassign{t} a, LATERAL (SELECT unnest(generate_series(1, len(a.qv))) AS i) d
+    GROUP BY a.cid, d.i) GROUP BY cid),
+kcent{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN knewc{t} n ON n.cid = p.cid)"""
+        )
+        prev = f"kcent{t}"
+    parts.append(
+        f"""kfinal AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid,
+           {sqdist.format(a='e', c='c')} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sqdist.format(a='e', c='c')} ASC, c.cid ASC) AS rk
+    FROM e, {prev} c) WHERE rk = 1)"""
+    )
+    return ",\n".join(parts), prev
+
+
+_KM_CTES, _KM_LAST_CENT = _km_sql_ctes()
+
+Q87_SQL = f"""
+WITH {_KM_CTES}
+SELECT a.cid, COUNT(*) AS n_pts,
+       CAST(SUM(a.d2) // COUNT(*) AS BIGINT) AS mean_sqdist,
+       MIN(m.cent_md5) AS cent_md5
+FROM kfinal a
+JOIN (SELECT cid, md5(array_to_string(cv, ',')) AS cent_md5
+      FROM {_KM_LAST_CENT}) m ON m.cid = a.cid
+GROUP BY a.cid
+"""
+
+
+# --------------------------------------------------------------------------
+# q88 — triangle counting over the q75 link graph (degree-oriented wedge
+# join). Triangles/clustering coefficient are the standard graph-health
+# signals for citation/link corpora (spam farms are triangle-dense). The
+# naive 3-way self-join explodes on hub nodes: a degree-D node contributes
+# D² wedges. The fix — Schank/Wagner orientation, the shape every
+# distributed triangle counter uses — directs each undirected edge from
+# the (degree, node)-SMALLER endpoint to the larger, which provably caps
+# every out-degree at O(√m): wedges = one self-join of the oriented edge
+# list on src, closed by one hash join probing the third edge. Each
+# triangle is found exactly once (at its smallest-degree vertex) and then
+# credited to all three corners via a 3-row explode.
+# Scale: 2 equi-joins + 1 agg, all on edge keys; per-key fan-out bounded
+# by the orientation invariant, no row ever joins more than out-deg ≤
+# O(√m) partners. total_tri is a 1-row agg broadcast onto the top-20 rows
+# (bounded BNLJ, the q73/q74 combine precedent).
+# --------------------------------------------------------------------------
+
+
+def q88_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar: hash modulus (q75 contract)
+    slots = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_PR_FANOUT - 1))).alias("j")
+    )
+    raw = slots.select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pr"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("-"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    oriented = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            )
+            .otherwise(F.col("u"))
+            .alias("t"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("dv"),
+            )
+            .otherwise(F.col("du"))
+            .alias("dt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("b"), F.col("dt").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("s").alias("a2"), F.col("t").alias("c"), F.col("dt").alias("dc")
+    )
+    wedges = e1.join(e2, F.col("a") == F.col("a2")).filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    e3 = oriented.select(F.col("s").alias("b3"), F.col("t").alias("c3"))
+    tris = wedges.join(
+        e3, (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    total = tris.agg(F.count("*").alias("total_tri"))
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), F.asc("node"))
+        .limit(20)
+    )
+    return per_node.crossJoin(F.broadcast(total)).select(
+        "node", "n_tri", "total_tri"
+    )
+
+
+Q88_SQL = f"""
+WITH nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS MATERIALIZED (
+  SELECT doc_id AS src,
+         ('0x' || substring(md5('pr' || CAST(doc_id AS VARCHAR) || '-'
+                                 || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+           % (SELECT n FROM nn) AS dst
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, {_PR_FANOUT - 1})) AS j) g),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src != dst),
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN dv.deg ELSE du.deg END AS dt
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v),
+tris AS MATERIALIZED (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.s = e1.s
+   AND ((e1.dt < e2.dt) OR (e1.dt = e2.dt AND e1.t < e2.t))
+  JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t),
+total AS MATERIALIZED (SELECT COUNT(*) AS total_tri FROM tris)
+SELECT node, n_tri, (SELECT total_tri FROM total) AS total_tri
+FROM (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([a, b, c]) AS node FROM tris)
+  GROUP BY node)
+ORDER BY n_tri DESC, node ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -6778,6 +7109,8 @@ QUERIES = {
     "q84_sq8_quantize": q84_sq8_quantize,
     "q85_bpe_encode": q85_bpe_encode,
     "q86_bloom_prefilter": q86_bloom_prefilter,
+    "q87_kmeans": q87_kmeans,
+    "q88_triangles": q88_triangles,
 }
 
 ORACLES = {
@@ -6867,4 +7200,6 @@ ORACLES = {
     "q84_sq8_quantize": Q84_SQL,
     "q85_bpe_encode": Q85_SQL,
     "q86_bloom_prefilter": Q86_SQL,
+    "q87_kmeans": Q87_SQL,
+    "q88_triangles": Q88_SQL,
 }
