@@ -7022,6 +7022,282 @@ ORDER BY n_tri DESC, node ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q89 — duplicated-span coverage (the exact-substring dedup signal of Lee
+# et al., "Deduplicating Training Data Makes Language Models Better", at a
+# fixed window size). q34 dedups disjoint chunks and q63 dedups whole
+# lines; both miss duplication at arbitrary offsets. Here every W=8-token
+# sliding window is hashed; a window is "duplicated" if its text occurs
+# ≥ 2 times in the corpus (any doc, any offset — within-doc repeats
+# count, as in the suffix-array formulation). Per doc, overlapping dup
+# windows are merged into maximal spans (gaps-and-islands: a window
+# starting at i extends a span ending ≥ i-1, i.e. joins when
+# i − prev_start ≤ W) and the covered-token fraction is reported — the
+# per-doc number a curation pipeline thresholds on to drop
+# mostly-duplicated documents.
+# Scale shape: the window table is Σ n_tok rows (the shingle-table
+# scale); the dup decision is ONE map-side-combinable count agg on the
+# window hash followed by an equi-join back (q63's claim-join shape —
+# never all-pairs); the span merge is one window over doc_id, riding a
+# single hash partitioning. Output is one row per doc.
+# --------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+
+def q89_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    base = docs.select("doc_id", F.size("t").cast("long").alias("n_tok"), "t")
+    wins = (
+        base.filter(F.col("n_tok") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_SPAN_W}),"
+                    f" i -> struct(CAST(i AS LONG) AS i,"
+                    f" md5(array_join(slice(t, i + 1, {_SPAN_W}), ' ')) AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    )
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dup_wins = wins.join(dup_h.select("h"), "h")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        dup_wins.withColumn("pi", F.lag("i").over(w_doc))
+        .withColumn(
+            "g",
+            F.when(
+                F.col("pi").isNull() | (F.col("i") - F.col("pi") > _SPAN_W),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("isl", F.sum("g").over(w_doc))
+        .groupBy("doc_id", "isl")
+        .agg((F.max("i") - F.min("i") + _SPAN_W).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("covered_tok"))
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("covered_tok", F.lit(0)).cast("long").alias("covered_tok"),
+            F.expr(
+                "CAST(1000000 * coalesce(covered_tok, 0L) div n_tok AS LONG)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+Q89_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, str_split(text, ' ') AS t,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+wins AS MATERIALIZED (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+         md5(array_to_string(t[g.i + 1 : g.i + {_SPAN_W}], ' ')) AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(0, CAST(n_tok - {_SPAN_W} AS BIGINT))) AS i) g
+  WHERE n_tok >= {_SPAN_W}),
+dup_h AS MATERIALIZED (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+dup_wins AS MATERIALIZED (
+  SELECT w.doc_id, w.i FROM wins w JOIN dup_h d ON d.h = w.h),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(span_len) AS covered_tok
+  FROM (
+    SELECT doc_id, isl, MAX(i) - MIN(i) + {_SPAN_W} AS span_len
+    FROM (
+      SELECT doc_id, i,
+             SUM(CASE WHEN pi IS NULL OR i - pi > {_SPAN_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      FROM (
+        SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+        FROM dup_wins))
+    GROUP BY doc_id, isl)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_tok,
+       CAST(COALESCE(s.covered_tok, 0) AS BIGINT) AS covered_tok,
+       CAST(1000000 * COALESCE(s.covered_tok, 0) // b.n_tok AS BIGINT) AS dup_ppm
+FROM base b LEFT JOIN spans s ON s.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q90 — SCD2 dimension build from a changelog (slowly-changing-dimension
+# type 2). The warehouse-side op every Iceberg-backed corpus store needs:
+# given per-version attribute observations, compact consecutive repeats
+# and emit effective-dated rows (valid_from / valid_to / is_current) so
+# any historical corpus snapshot can be reconstructed with a point-in-time
+# range predicate. The changelog is synthesized deterministically in-query
+# (q25's injected-data discipline): 4 versions per doc, attribute =
+# md5-derived value in {{0,1,2}} so consecutive repeats genuinely occur
+# and get compacted.
+# Scale shape: explode (0-exchange map) + ONE hash partitioning on doc_id
+# that BOTH windows ride (lag for change detection, lead for interval
+# close — same partition key and order, so Catalyst plans one exchange;
+# the post-filter lead only re-sorts). Output rows = Σ changes ≤ 4·n_docs.
+# --------------------------------------------------------------------------
+
+_SCD_VERSIONS = 4
+_SCD_OPEN = 9999
+
+
+def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SCD_VERSIONS - 1))).alias("ver"),
+    ).select(
+        "doc_id",
+        F.col("ver").cast("long").alias("ver"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("scd"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("#"),
+                            F.col("ver").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("val"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ver")
+    changes = log.withColumn("pv", F.lag("val").over(w)).filter(
+        F.col("pv").isNull() | (F.col("val") != F.col("pv"))
+    )
+    return (
+        changes.withColumn("nxt", F.lead("ver").over(w))
+        .select(
+            "doc_id",
+            "val",
+            F.col("ver").alias("valid_from"),
+            (F.coalesce(F.col("nxt") - 1, F.lit(_SCD_OPEN)))
+            .cast("long")
+            .alias("valid_to"),
+            F.when(F.col("nxt").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_current"),
+        )
+    )
+
+
+Q90_SQL = f"""
+WITH log AS (
+  SELECT doc_id, CAST(g.ver AS BIGINT) AS ver,
+         ('0x' || substring(md5('scd' || CAST(doc_id AS VARCHAR) || '#'
+                                 || CAST(g.ver AS VARCHAR)), 1, 2))::BIGINT % 3 AS val
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, {_SCD_VERSIONS - 1})) AS ver) g),
+changes AS (
+  SELECT doc_id, ver, val FROM (
+    SELECT doc_id, ver, val,
+           lag(val) OVER (PARTITION BY doc_id ORDER BY ver) AS pv
+    FROM log)
+  WHERE pv IS NULL OR val != pv)
+SELECT doc_id, val,
+       ver AS valid_from,
+       CAST(COALESCE(lead(ver) OVER (PARTITION BY doc_id ORDER BY ver) - 1,
+                     {_SCD_OPEN}) AS BIGINT) AS valid_to,
+       CAST(CASE WHEN lead(ver) OVER (PARTITION BY doc_id ORDER BY ver) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM changes
+"""
+
+
+# --------------------------------------------------------------------------
+# q91 — quality-threshold sweep (filter calibration curve). Before a
+# curation run commits to a quality cutoff, the standard move is to sweep
+# every candidate threshold and read off kept-document / kept-token mass —
+# the data-card curve that justifies the chosen operating point. Score =
+# q10's integer type-token ratio (ttr_pct, 0..100). One corpus pass
+# aggregates per distinct score; the cumulative "keep if score ≥ s" mass
+# is then a window over the ≤ 101-row aggregate — the q65 bounded-
+# single-partition-window precedent (never a window over data rows).
+# kept_ppm is integer-exact against the total token mass folded from the
+# same aggregate (no second corpus scan — the q68 no-driver-scalar
+# discipline).
+# --------------------------------------------------------------------------
+
+
+def q91_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(
+            "CAST(100 * size(array_distinct(split(text, ' ')))"
+            " / size(split(text, ' ')) AS LONG)"
+        ).alias("score"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("n_docs_at"),
+        F.sum("n_tok").alias("tok_at"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_score.withColumn("docs_kept", F.sum("n_docs_at").over(w))
+        .withColumn("tok_kept", F.sum("tok_at").over(w))
+        .withColumn("tok_total", F.sum("tok_at").over(wt))
+        .select(
+            "score",
+            F.col("n_docs_at").cast("long").alias("n_docs_at"),
+            F.col("docs_kept").cast("long").alias("docs_kept"),
+            F.col("tok_kept").cast("long").alias("tok_kept"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * tok_kept"
+                " div tok_total AS LONG)"
+            ).alias("kept_ppm"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH scored AS (
+  SELECT CAST(100 * len(list_distinct(str_split(text, ' ')))
+              // len(str_split(text, ' ')) AS BIGINT) AS score,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+per_score AS (
+  SELECT score, COUNT(*) AS n_docs_at, CAST(SUM(n_tok) AS BIGINT) AS tok_at
+  FROM scored GROUP BY score)
+SELECT score,
+       CAST(n_docs_at AS BIGINT) AS n_docs_at,
+       CAST(SUM(n_docs_at) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_kept,
+       CAST(SUM(tok_at) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_kept,
+       CAST(1000000 * SUM(tok_at) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            // SUM(tok_at) OVER () AS BIGINT) AS kept_ppm
+FROM per_score
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -7111,6 +7387,9 @@ QUERIES = {
     "q86_bloom_prefilter": q86_bloom_prefilter,
     "q87_kmeans": q87_kmeans,
     "q88_triangles": q88_triangles,
+    "q89_dup_span_coverage": q89_dup_span_coverage,
+    "q90_scd2_intervals": q90_scd2_intervals,
+    "q91_threshold_sweep": q91_threshold_sweep,
 }
 
 ORACLES = {
@@ -7202,4 +7481,7 @@ ORACLES = {
     "q86_bloom_prefilter": Q86_SQL,
     "q87_kmeans": Q87_SQL,
     "q88_triangles": Q88_SQL,
+    "q89_dup_span_coverage": Q89_SQL,
+    "q90_scd2_intervals": Q90_SQL,
+    "q91_threshold_sweep": Q91_SQL,
 }
