@@ -73,6 +73,17 @@ _PINS = [
     ("q84_sq8_quantize", 2, 0, False),  # min/max agg + vec_id re-agg
     ("q85_bpe_encode", 1, 0, False),  # encode = broadcast-vocab map + agg
     ("q86_bloom_prefilter", 1, 0, False),  # shuffle-free probe, 1 lang agg
+    # q87: the K iteration aggs run eagerly during centroid training (each
+    # ONE map-side-combinable groupBy(cid, dim) over the persisted emb);
+    # the live plan is the final per-cid agg + broadcast checksum join.
+    ("q87_kmeans", 1, 0, False),
+    # q88: wedge join + closing probe on the persisted oriented edges
+    # (2 exchanges); the single-partition exchange is the 1-row total_tri
+    # fold, whose BNLJ combine is the documented q73 bounded class.
+    ("q88_triangles", 2, 1, True),
+    ("q89_dup_span_coverage", 2, 0, False),  # h-count agg + doc_id window
+    ("q90_scd2_intervals", 1, 0, False),  # both windows ride one exchange
+    ("q91_threshold_sweep", 2, 1, False),  # score agg + ≤101-row window
 ]
 
 
