@@ -7153,9 +7153,10 @@ _SCD_VERSIONS = 4
 _SCD_OPEN = 9999
 
 
-def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    log = docs.select(
+def scd_changelog(docs: DataFrame) -> DataFrame:
+    """The deterministic 4-version CDC changelog q90 compacts; shared with
+    the streaming twin's equivalence test (streaming/scd.py)."""
+    return docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_SCD_VERSIONS - 1))).alias("ver"),
     ).select(
@@ -7181,6 +7182,10 @@ def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 3
         ).alias("val"),
     )
+
+
+def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = scd_changelog(_t(spark, sf_dir, "documents"))
     w = Window.partitionBy("doc_id").orderBy("ver")
     changes = log.withColumn("pv", F.lag("val").over(w)).filter(
         F.col("pv").isNull() | (F.col("val") != F.col("pv"))
