@@ -6722,12 +6722,22 @@ GROUP BY ROLLUP(lang, source)
 _KM_K = 8
 _KM_ITERS = 2
 
+_KM_MEMO: dict = {}
 
-def q87_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+
+def _km_final(spark: SparkSession, sf_dir: str):
+    """Full-corpus Lloyd's training (q87 header comment) → the persisted
+    final assignment (vec_id, cid, d2) plus the trained centroid matrix,
+    memoized per (session, sf_dir) — the IVF-index discipline: q87's
+    stats and q93's purity audit share one training pass."""
     import math
 
     import numpy as np
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KM_MEMO.get(memo_key)
+    if hit is not None:
+        return hit[0]
 
     emb = (
         _quantized_emb(spark, sf_dir)
@@ -6777,9 +6787,20 @@ def q87_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq_dists(P, bcf.value).min(axis=1).astype(np.int64)
         )
 
-    final = emb.withColumn("cid", _cid_udf(cents)(F.col("qv"))).withColumn(
-        "d2", min_d2(F.col("qv"))
+    final = (
+        emb.withColumn("cid", _cid_udf(cents)(F.col("qv")))
+        .withColumn("d2", min_d2(F.col("qv")))
+        .select("vec_id", "cid", "d2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _memo_put(_KM_MEMO, memo_key, [(final, cents)], spark)
+    return final, cents
+
+
+def q87_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    final, cents = _km_final(spark, sf_dir)
     sums = final.groupBy("cid").agg(
         F.count("*").alias("n_pts"),
         F.expr(
@@ -7303,6 +7324,186 @@ FROM per_score
 """
 
 
+# --------------------------------------------------------------------------
+# q92 — content-defined chunking (CDC) dedup. q34's fixed 32-token chunks
+# break under INSERTION: one added token shifts every later chunk boundary
+# and the whole tail stops matching. Content-defined boundaries (the
+# rsync/LBFS/gear-hash family) cut where a rolling fingerprint of the
+# LOCAL context hits a condition — here, after token i when the 4-gram
+# ending at i hashes ≡ 0 (mod 8), mean chunk ≈ 8 tokens — so an edit only
+# perturbs the chunks it touches and duplicated regions elsewhere keep
+# their exact boundaries. A chunk is duplicated when its text occurs ≥ 2
+# times corpus-wide; per doc we report chunk counts and the duplicated
+# token fraction.
+# Scale shape: boundary flags are computed IN ARRAY LAND (one transform
+# per doc — never a per-token row carrying the whole doc), then one
+# posexplode + a doc_id window assigns chunk ids; the chunk rebuild
+# (groupBy doc_id, cid with ordered concat) rides the same partitioning;
+# the dup decision is ONE map-side-combinable count agg on the chunk hash
+# + a claim-join back (q63's shape). Never all-pairs.
+# --------------------------------------------------------------------------
+
+_CDC_W = 4  # rolling context: the 4-gram ending at each position
+_CDC_MOD = 8  # boundary when hash % 8 == 0 → mean chunk ≈ 8 tokens
+
+_CDC_FLAGS = (
+    f"transform(sequence(1, size(t)), i -> CASE WHEN i >= {_CDC_W}"
+    f" AND i < size(t)"
+    f" AND CAST(conv(substring(md5(array_join(slice(t, i - {_CDC_W - 1},"
+    f" {_CDC_W}), ' ')), 1, 2), 16, 10) AS LONG) % {_CDC_MOD} = 0"
+    f" THEN 1 ELSE 0 END)"
+)
+
+
+def q92_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.posexplode(
+            F.arrays_zip(F.col("t").alias("tok"), F.expr(_CDC_FLAGS).alias("b"))
+        ).alias("pos", "z"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.tok").alias("tok"),
+        F.col("z.b").cast("long").alias("b"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        toks.withColumn("cid", F.coalesce(F.sum("b").over(w), F.lit(0)))
+        .groupBy("doc_id", "cid")
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.count("*").cast("long").alias("chunk_len"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, tok))),"
+                        " s -> s.tok)"
+                    ),
+                )
+            ).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # read by the count agg + join
+    )
+    dup_h = chunks.groupBy("h").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    flagged = chunks.join(
+        dup_h.select("h", F.lit(1).alias("is_dup")), "h", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("dup_chunks"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN is_dup IS NOT NULL THEN chunk_len"
+            " ELSE 0L END) div max(n_tok) AS LONG)"
+        ).alias("dup_tok_ppm"),
+    )
+
+
+Q92_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, str_split(text, ' ') AS t,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, n_tok, CAST(g.i - 1 AS BIGINT) AS pos, t[g.i] AS tok,
+         CASE WHEN g.i >= {_CDC_W} AND g.i < len(t)
+               AND ('0x' || substring(md5(array_to_string(
+                     t[g.i - {_CDC_W - 1} : g.i], ' ')), 1, 2))::BIGINT
+                   % {_CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+chunked AS MATERIALIZED (
+  SELECT doc_id, n_tok, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM toks),
+chunks AS MATERIALIZED (
+  SELECT doc_id, cid, MAX(n_tok) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS chunk_len,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+  FROM chunked GROUP BY doc_id, cid),
+dup_h AS MATERIALIZED (
+  SELECT h FROM chunks GROUP BY h HAVING COUNT(*) >= 2)
+SELECT c.doc_id, CAST(MAX(c.n_tok) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(1000000 * SUM(CASE WHEN d.h IS NOT NULL THEN c.chunk_len
+                               ELSE 0 END) // MAX(c.n_tok) AS BIGINT)
+         AS dup_tok_ppm
+FROM chunks c LEFT JOIN dup_h d ON d.h = c.h
+GROUP BY c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q93 — k-means cluster purity audit (the downstream consumer of q87's
+# clustering, the way q73 audits the dedup pipeline). For each trained
+# cluster: size, majority ground-truth label (ties → lowest label), and
+# integer purity ppm — the number a curation pipeline reads before
+# trusting cluster-balanced sampling or per-cluster filtering. Shares
+# q87's memoized training pass (_km_final — the IVF-index discipline);
+# the live work is one (cid, label) count agg (bounded output k·|labels|)
+# plus a bounded window over it. The oracle replays the training CTEs and
+# joins the label column back by vec_id.
+# --------------------------------------------------------------------------
+
+
+def q93_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final, _ = _km_final(spark, sf_dir)
+    labeled = final.join(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("label").cast("long").alias("label")
+        ),
+        "vec_id",
+    )
+    cells = labeled.groupBy("cid", "label").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_pts", F.sum("cnt").over(Window.partitionBy("cid")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cid",
+            F.col("n_pts").cast("long").alias("n_pts"),
+            F.col("label").alias("top_label"),
+            F.expr("CAST(1000000 * cnt div n_pts AS LONG)").alias(
+                "purity_ppm"
+            ),
+        )
+    )
+
+
+Q93_SQL = f"""
+WITH {_KM_CTES},
+labeled AS MATERIALIZED (
+  SELECT a.cid, CAST(emb.label AS BIGINT) AS label
+  FROM kfinal a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+cells AS MATERIALIZED (
+  SELECT cid, label, COUNT(*) AS cnt FROM labeled GROUP BY cid, label)
+SELECT cid,
+       CAST(SUM(cnt) OVER (PARTITION BY cid) AS BIGINT) AS n_pts,
+       label AS top_label,
+       CAST(1000000 * cnt // SUM(cnt) OVER (PARTITION BY cid) AS BIGINT)
+         AS purity_ppm
+FROM cells
+QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label ASC) = 1
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -7395,6 +7596,8 @@ QUERIES = {
     "q89_dup_span_coverage": q89_dup_span_coverage,
     "q90_scd2_intervals": q90_scd2_intervals,
     "q91_threshold_sweep": q91_threshold_sweep,
+    "q92_cdc_chunk_dedup": q92_cdc_chunk_dedup,
+    "q93_cluster_purity": q93_cluster_purity,
 }
 
 ORACLES = {
@@ -7489,4 +7692,6 @@ ORACLES = {
     "q89_dup_span_coverage": Q89_SQL,
     "q90_scd2_intervals": Q90_SQL,
     "q91_threshold_sweep": Q91_SQL,
+    "q92_cdc_chunk_dedup": Q92_SQL,
+    "q93_cluster_purity": Q93_SQL,
 }

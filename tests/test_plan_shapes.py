@@ -84,6 +84,12 @@ _PINS = [
     ("q89_dup_span_coverage", 2, 0, False),  # h-count agg + doc_id window
     ("q90_scd2_intervals", 1, 0, False),  # both windows ride one exchange
     ("q91_threshold_sweep", 2, 1, False),  # score agg + ≤101-row window
+    # q92: doc_id window+rebuild ride one exchange; chunk-hash count agg
+    # is the second (the persisted chunk table roots the claim join)
+    ("q92_cdc_chunk_dedup", 2, 0, False),
+    # q93: (cid,label) agg over the memoized q87 assignment + a window
+    # over the bounded k·|labels| cell table
+    ("q93_cluster_purity", 2, 0, False),
 ]
 
 
