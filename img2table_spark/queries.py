@@ -7504,6 +7504,130 @@ QUALIFY row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label ASC) = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q94 — semi-supervised label spreading over the near-dup graph (weak
+# supervision: Zhu & Ghahramani label propagation, majority-vote form).
+# A thin seed set (docs with doc_id % 10 == 0 expose their lang) spreads
+# along the MinHash band-candidate edges: each round, every still-
+# unlabeled doc adjacent to labeled docs takes the MAJORITY neighbor
+# label (ties → lexicographically smallest); labeled docs are fixed.
+# Two rounds unrolled (the q75/q82 constant-iteration discipline), then
+# the per-round cohorts are audited against the TRUE lang — the
+# measured-accuracy row a weak-supervision pipeline reports before
+# trusting propagated labels. Differs from q16 (label propagation for
+# connected COMPONENTS — min-id, structure only); this propagates
+# semantic labels with votes and measures agreement.
+# Scale shape: edges are the memoized capped candidate pairs (fan-out
+# bounded by _BAND_CAP's hub-star guard); each round is one vote agg on
+# dst + an anti-join against the bounded label table; labels ≤ n_docs
+# rows, persisted per round so round 2 doesn't replay round 1's lineage.
+# Output: 4 cohort rows (seed / round-1 / round-2 / unlabeled).
+# --------------------------------------------------------------------------
+
+_LS_ROUNDS = 2
+
+
+def q94_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = _cand_pairs_table(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.col("lang").alias("label"), F.lit(0).cast("long").alias("rnd")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for r in range(1, _LS_ROUNDS + 1):
+        votes = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "label"), "src"
+            )
+            .join(
+                labels.select(F.col("doc_id").alias("dst")),
+                "dst",
+                "left_anti",
+            )
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        wins = votes.groupBy("dst").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+            ).alias("w")
+        )
+        new = wins.select(
+            F.col("dst").alias("doc_id"),
+            F.col("w.l").alias("label"),
+            F.lit(r).cast("long").alias("rnd"),
+        )
+        labels = labels.unionByName(new).persist(StorageLevel.MEMORY_AND_DISK)
+    audited = docs.join(labels, "doc_id", "left").select(
+        F.coalesce("rnd", F.lit(-1)).cast("long").alias("rnd"),
+        F.when(F.col("label") == F.col("lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    )
+    return audited.groupBy("rnd").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.expr("CAST(1000000 * sum(correct) div count(*) AS LONG)").alias(
+            "acc_ppm"
+        ),
+    )
+
+
+def _ls_round_sql(r: int) -> str:
+    prev = f"lab{r - 1}"
+    return f"""votes{r} AS MATERIALIZED (
+  SELECT e.dst AS doc_id, l.label, COUNT(*) AS cnt
+  FROM edges e
+  JOIN {prev} l ON l.doc_id = e.src
+  WHERE e.dst NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY e.dst, l.label),
+lab{r} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT doc_id, label, {r} AS rnd FROM (
+    SELECT doc_id, label,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, label ASC) AS rk
+    FROM votes{r}) WHERE rk = 1)"""
+
+
+Q94_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE len(str_split(text, ' ')) >= 3),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 3)) AS i) g),
+{_MH_SQL_CTES},
+{_pairs_sql_cte("cand", materialized=True)},
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand),
+lab0 AS MATERIALIZED (
+  SELECT doc_id, lang AS label, CAST(0 AS BIGINT) AS rnd
+  FROM documents WHERE doc_id % 10 = 0),
+{",".join(_ls_round_sql(r) for r in range(1, _LS_ROUNDS + 1))}
+SELECT COALESCE(l.rnd, -1) AS rnd,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.label = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(1000000 * SUM(CASE WHEN l.label = d.lang THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS acc_ppm
+FROM documents d LEFT JOIN lab{_LS_ROUNDS} l ON l.doc_id = d.doc_id
+GROUP BY COALESCE(l.rnd, -1)
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -7598,6 +7722,7 @@ QUERIES = {
     "q91_threshold_sweep": q91_threshold_sweep,
     "q92_cdc_chunk_dedup": q92_cdc_chunk_dedup,
     "q93_cluster_purity": q93_cluster_purity,
+    "q94_label_spreading": q94_label_spreading,
 }
 
 ORACLES = {
@@ -7694,4 +7819,5 @@ ORACLES = {
     "q91_threshold_sweep": Q91_SQL,
     "q92_cdc_chunk_dedup": Q92_SQL,
     "q93_cluster_purity": Q93_SQL,
+    "q94_label_spreading": Q94_SQL,
 }

@@ -90,6 +90,9 @@ _PINS = [
     # q93: (cid,label) agg over the memoized q87 assignment + a window
     # over the bounded k·|labels| cell table
     ("q93_cluster_purity", 2, 0, False),
+    # q94: per-round vote agg + anti-join over the persisted label table;
+    # edges root at the memoized candidate-pair InMemoryTableScan
+    ("q94_label_spreading", 3, 0, False),
 ]
 
 
