@@ -7628,6 +7628,125 @@ GROUP BY COALESCE(l.rnd, -1)
 """
 
 
+# --------------------------------------------------------------------------
+# q95 — ANN recall audit: IVF top-k (q15) measured against exact
+# brute-force top-k on the SAME query set. The q73 discipline applied to
+# the similarity-search family: an approximate index is only trustworthy
+# with a measured recall number next to it (every production ANN system
+# ships this audit). Per query vector, overlap = |IVF top-k ∩ exact
+# top-k|; output is the bounded overlap histogram (k+1 rows) with each
+# cohort's share and the global mean recall in ppm.
+# Scale shape: the IVF arm is q15's bucket-probe (broadcast query set,
+# memoized index). The exact arm is the AUDIT arm — a broadcast
+# crossJoin of the n/50 query sample against the corpus, the same
+# deliberate bounded brute-force shape as q12's oracle twin; at 100 TB
+# the audit runs on a query SAMPLE by construction (vec_id % 50 here).
+# The overlap join and histogram aggregate over ≤ n_queries·k rows.
+# Measured at sf0.1: mean recall@3 = 19.2% (overlap histogram
+# 24/10/5/1 for 0/1/2/3 hits) — the known nprobe=1 trade-off: a
+# query's true neighbors often live across a Voronoi boundary. The
+# audit is the point; raising recall is the standard multi-probe knob
+# (probe the p nearest coarse cells instead of 1), which the two-level
+# index supports without reshaping — documented, not silently tuned.
+# --------------------------------------------------------------------------
+
+
+def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = q15_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "v")
+    norm = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    base = assigned.withColumn("nrm", norm)
+    qset = base.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = (
+        base.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (dot / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = exact.join(ivf, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("ov"))
+    per_q = qset.select("query_id").join(hits, "query_id", "left").select(
+        F.coalesce("ov", F.lit(0)).cast("long").alias("overlap")
+    )
+    hist = per_q.groupBy("overlap").agg(F.count("*").alias("n_queries"))
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.withColumn("tot_q", F.sum("n_queries").over(wt))
+        .withColumn(
+            "tot_ov", F.sum(F.col("overlap") * F.col("n_queries")).over(wt)
+        )
+        .select(
+            "overlap",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.expr("CAST(1000000 * n_queries div tot_q AS LONG)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * tot_ov) div ({_TOPK} * tot_q) AS LONG)"
+            ).alias("mean_recall_ppm"),
+        )
+    )
+
+
+Q95_SQL = f"""
+WITH {_IVF_CTES},
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb
+  FROM assigned WHERE vec_id % 50 = 0),
+ivf AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT q.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(a.v, q.qv) DESC,
+                                       a.vec_id ASC) AS rank
+    FROM assigned a JOIN q ON a.bucket = q.qb
+    WHERE a.vec_id <> q.query_id
+  ) WHERE rank <= {_TOPK}),
+exact AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_TOPK}),
+hits AS MATERIALIZED (
+  SELECT i.query_id, COUNT(*) AS ov
+  FROM ivf i JOIN exact x
+    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+  GROUP BY i.query_id),
+per_q AS MATERIALIZED (
+  SELECT CAST(COALESCE(h.ov, 0) AS BIGINT) AS overlap
+  FROM q LEFT JOIN hits h ON h.query_id = q.query_id),
+hist AS MATERIALIZED (
+  SELECT overlap, COUNT(*) AS n_queries FROM per_q GROUP BY overlap)
+SELECT overlap, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(1000000 * n_queries // SUM(n_queries) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(1000000 * SUM(overlap * n_queries) OVER ()
+            // ({_TOPK} * SUM(n_queries) OVER ()) AS BIGINT)
+         AS mean_recall_ppm
+FROM hist
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -7723,6 +7842,7 @@ QUERIES = {
     "q92_cdc_chunk_dedup": q92_cdc_chunk_dedup,
     "q93_cluster_purity": q93_cluster_purity,
     "q94_label_spreading": q94_label_spreading,
+    "q95_ann_recall": q95_ann_recall,
 }
 
 ORACLES = {
@@ -7820,4 +7940,5 @@ ORACLES = {
     "q92_cdc_chunk_dedup": Q92_SQL,
     "q93_cluster_purity": Q93_SQL,
     "q94_label_spreading": Q94_SQL,
+    "q95_ann_recall": Q95_SQL,
 }

@@ -93,6 +93,10 @@ _PINS = [
     # q94: per-round vote agg + anti-join over the persisted label table;
     # edges root at the memoized candidate-pair InMemoryTableScan
     ("q94_label_spreading", 3, 0, False),
+    # q95: the BNLJ is the DELIBERATE bounded audit arm — broadcast
+    # brute-force of the 1/50 query sample (q12's oracle-twin class);
+    # the single-partition exchange is the ≤ k+1-row histogram window
+    ("q95_ann_recall", 8, 1, True),
 ]
 
 
