@@ -8082,6 +8082,100 @@ sq8 AS MATERIALIZED (
 """
 
 
+# --------------------------------------------------------------------------
+# q98 — exact phrase search over a positional inverted index: the
+# retrieval op BM25 (q60) can't express — "these words, adjacent, in this
+# order". The classic distributed shape: tokenize with POSITIONS, keep
+# only phrase-vocabulary postings (the broadcast phrase-word table
+# filters the corpus stream immediately after the explode — everything
+# else never shuffles), then the k-way positional intersect collapses to
+# ONE group: a posting for word i of phrase p at position pos votes for
+# candidate start (p, doc_id, pos − i); a start where all k distinct
+# offsets voted is an occurrence. Overlapping matches count (both
+# engines, same rule); a repeated-word phrase ('slow slow') exercises the
+# DISTINCT-offset guard — one token can't satisfy two offsets at the
+# same start. Per-doc result rows (n_occ, first_pos) are the search
+# output; the start-group agg is the single corpus-scale shuffle (on the
+# phrase-filtered stream), the per-doc re-agg runs over occurrence rows.
+# --------------------------------------------------------------------------
+
+_PHRASES = [
+    (1, "hash join"),
+    (2, "table scan"),
+    (3, "sort merge join"),
+    (4, "window agg"),
+    (5, "slow slow"),
+]
+
+
+def q98_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    pw = spark.createDataFrame(
+        [
+            (pid, off, w)
+            for pid, ph in _PHRASES
+            for off, w in enumerate(ph.split(" "))
+        ],
+        "pid INT, off INT, tok STRING",
+    )
+    lens = spark.createDataFrame(
+        [(pid, len(ph.split(" "))) for pid, ph in _PHRASES], "pid INT, n INT"
+    )
+    occ = (
+        post.join(F.broadcast(pw), "tok")
+        .select(
+            "pid", "doc_id", (F.col("pos") - F.col("off")).alias("start"), "off"
+        )
+        .filter(F.col("start") >= 0)
+        .groupBy("pid", "doc_id", "start")
+        .agg(F.countDistinct("off").alias("k"))
+    )
+    return (
+        occ.join(F.broadcast(lens), "pid")
+        .filter(F.col("k") == F.col("n"))
+        .groupBy("pid", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+    )
+
+
+_Q98_PW = ", ".join(
+    f"({pid}, {off}, '{w}')"
+    for pid, ph in _PHRASES
+    for off, w in enumerate(ph.split(" "))
+)
+_Q98_LENS = ", ".join(
+    f"({pid}, {len(ph.split(' '))})" for pid, ph in _PHRASES
+)
+
+Q98_SQL = f"""
+WITH post AS (
+  SELECT doc_id, u.pos, u.tok
+  FROM documents,
+       LATERAL (SELECT unnest(str_split(text, ' ')) AS tok,
+                       unnest(generate_series(0, len(str_split(text, ' ')) - 1))
+                         AS pos) u),
+pw(pid, off, tok) AS (VALUES {_Q98_PW}),
+plen(pid, n) AS (VALUES {_Q98_LENS}),
+occ AS (
+  SELECT pw.pid, p.doc_id, p.pos - pw.off AS start,
+         COUNT(DISTINCT pw.off) AS k
+  FROM post p JOIN pw ON pw.tok = p.tok
+  WHERE p.pos - pw.off >= 0
+  GROUP BY pw.pid, p.doc_id, p.pos - pw.off)
+SELECT CAST(o.pid AS INTEGER) AS pid, o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(MIN(o.start) AS BIGINT) AS first_pos
+FROM occ o JOIN plen l ON l.pid = o.pid AND o.k = l.n
+GROUP BY o.pid, o.doc_id
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -8180,6 +8274,7 @@ QUERIES = {
     "q95_ann_recall": q95_ann_recall,
     "q96_ann_multiprobe": q96_ann_multiprobe,
     "q97_sq8_recall": q97_sq8_recall,
+    "q98_phrase_search": q98_phrase_search,
 }
 
 ORACLES = {
@@ -8280,4 +8375,5 @@ ORACLES = {
     "q95_ann_recall": Q95_SQL,
     "q96_ann_multiprobe": Q96_SQL,
     "q97_sq8_recall": Q97_SQL,
+    "q98_phrase_search": Q98_SQL,
 }

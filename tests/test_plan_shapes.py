@@ -102,6 +102,9 @@ _PINS = [
     # so the live shape is identical
     ("q96_ann_multiprobe", 8, 1, True),
     ("q97_sq8_recall", 8, 1, True),
+    # q98: distinct-offset start agg (countDistinct = 2 exchanges on the
+    # phrase-filtered postings) + the per-doc re-agg over occurrence rows
+    ("q98_phrase_search", 3, 0, False),
 ]
 
 
