@@ -8176,6 +8176,77 @@ GROUP BY o.pid, o.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q99 — range-partition split points (equi-depth boundaries) from the
+# histogram CDF: the planning op behind skew-free range partitioning /
+# sorted-output sharding at 100 TB. Spark's own RangePartitioner samples;
+# this is the deterministic exact-rank version: for B target buckets the
+# i-th boundary is the first unit bin whose cumulative count reaches
+# rank_i = (i·n + B − 1) div B (q57's ceiling-rank arithmetic, so
+# boundaries are exact order statistics of the binned values, ties
+# engine-identical). Every row between boundary i−1 (exclusive) and i
+# (inclusive) lands in bucket i: per-bucket row counts are equal to
+# within one bin's mass — the guarantee that makes downstream
+# repartitionByRange-style writes balanced. Scale shape: ONE map-side-
+# combinable (event_type, bin) agg (the shuffle carries ≤ n_bins rows per
+# type, q59's bounded class); the boundary explode + CDF walk run over
+# the tiny bin table. Output pins each boundary's bin AND the realized
+# bucket mass (cum at the boundary), so a regression in either the walk
+# or the rank arithmetic is caught.
+# --------------------------------------------------------------------------
+
+_Q99_BUCKETS = 16
+
+
+def q99_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    b = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _Q99_BUCKETS + 1)])
+    ).alias("bucket_no")
+    ranks = cum.select("event_type", "bin", "cum", "n", b).withColumn(
+        "rank", F.expr(f"(bucket_no * n + {_Q99_BUCKETS} - 1) div {_Q99_BUCKETS}")
+    )
+    return (
+        ranks.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("event_type", "bucket_no")
+        .agg(
+            F.min("bin").cast("long").alias("split_bin"),
+            F.min("cum").cast("long").alias("cum_at_split"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+Q99_SQL = f"""
+WITH bins AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bins),
+ranks AS (
+  SELECT c.event_type, c.bin, c.cum, c.n, b.bucket_no,
+         (b.bucket_no * c.n + {_Q99_BUCKETS} - 1) // {_Q99_BUCKETS} AS rank
+  FROM cum c, (SELECT unnest(generate_series(1, {_Q99_BUCKETS})) AS bucket_no) b)
+SELECT event_type, CAST(bucket_no AS INTEGER) AS bucket_no,
+       CAST(MIN(bin) AS BIGINT) AS split_bin,
+       CAST(MIN(cum) AS BIGINT) AS cum_at_split,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM ranks WHERE cum >= rank
+GROUP BY event_type, bucket_no
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -8275,6 +8346,7 @@ QUERIES = {
     "q96_ann_multiprobe": q96_ann_multiprobe,
     "q97_sq8_recall": q97_sq8_recall,
     "q98_phrase_search": q98_phrase_search,
+    "q99_range_split_points": q99_range_split_points,
 }
 
 ORACLES = {
@@ -8376,4 +8448,5 @@ ORACLES = {
     "q96_ann_multiprobe": Q96_SQL,
     "q97_sq8_recall": Q97_SQL,
     "q98_phrase_search": Q98_SQL,
+    "q99_range_split_points": Q99_SQL,
 }

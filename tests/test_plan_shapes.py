@@ -105,6 +105,8 @@ _PINS = [
     # q98: distinct-offset start agg (countDistinct = 2 exchanges on the
     # phrase-filtered postings) + the per-doc re-agg over occurrence rows
     ("q98_phrase_search", 3, 0, False),
+    # q99: q59's bounded bin agg + the CDF window over the tiny bin table
+    ("q99_range_split_points", 2, 0, False),
 ]
 
 

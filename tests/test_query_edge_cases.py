@@ -600,3 +600,43 @@ def test_q72_snapshot_statuses(spark, tmp_path):
 
     out = {r["status"]: r["n_docs"] for r in q72_snapshot_diff(spark, str(tmp_path)).collect()}
     assert out == {"same": 2, "changed": 1, "removed": 1, "added": 1}, out
+
+
+def test_q99_equi_depth_guarantee(spark):
+    """The property q99 exists to provide: the realized bucket masses are
+    balanced to within one bin's mass (|mass_i − n/B| < max bin count),
+    the final boundary's cumulative mass is exactly n, and boundaries are
+    nondecreasing — checked on the real sf0.001 events table."""
+    from img2table_spark.queries import (
+        _Q99_BUCKETS,
+        q99_range_split_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q99_range_split_points(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    import pyspark.sql.functions as F
+
+    max_bin = (
+        ev.groupBy("event_type", F.floor("value").alias("b"))
+        .count()
+        .groupBy("event_type")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    )
+    max_bin = {r["event_type"]: r["m"] for r in max_bin}
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["bucket_no"]] = r
+    for et, buckets in by_type.items():
+        assert sorted(buckets) == list(range(1, _Q99_BUCKETS + 1))
+        n = buckets[1]["n_events"]
+        assert buckets[_Q99_BUCKETS]["cum_at_split"] == n
+        prev_cum, prev_bin = 0, None
+        for i in range(1, _Q99_BUCKETS + 1):
+            b = buckets[i]
+            if prev_bin is not None:
+                assert b["split_bin"] >= prev_bin
+            mass = b["cum_at_split"] - prev_cum
+            assert abs(mass - n / _Q99_BUCKETS) < max_bin[et], (et, i, mass)
+            prev_cum, prev_bin = b["cum_at_split"], b["split_bin"]
