@@ -8247,6 +8247,185 @@ GROUP BY event_type, bucket_no
 """
 
 
+# --------------------------------------------------------------------------
+# q100 — exact-quota stratified holdout: allocate a 10% validation split
+# across languages with LARGEST-REMAINDER apportionment (quotas sum to
+# exactly N div 10 — q21's md5-mod split only approximates proportions),
+# then select each stratum's quota as the a_l SMALLEST doc hashes —
+# exact per-stratum order statistics WITHOUT a per-lang corpus window.
+# Selection is the q67/q99 two-level discipline applied to hashes:
+# (1) one map-side-combinable (lang, top-16-bits-of-h) histogram — the
+# only corpus-scale shuffle, ≤ 65536 rows per lang out; (2) a CDF walk
+# over that bounded table finds each lang's threshold bin T_l (first
+# cum ≥ a_l): everything below T_l is selected wholesale, and only the
+# single threshold BIN (≈ n_l/2^16 rows) is ranked to pick the exact
+# remainder — the low-cardinality per-lang window that would otherwise
+# funnel 10% of the corpus through one task never exists. h is the
+# repo's 60-bit md5 idiom (engine-identical); ties broken by doc_id.
+# Output pins the full apportionment (floor share, remainder rank,
+# quota), the realized threshold, and Σ doc_id over the selected set —
+# n_selected must equal the quota exactly (asserted in a semantic test).
+# --------------------------------------------------------------------------
+
+_Q100_FRAC = 10  # select N div _Q100_FRAC rows overall
+_Q100_BIN_SHIFT = 44  # h < 2^60; top 16 bits → 65536 bins
+
+
+def q100_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).withColumn("hb", F.expr(f"h div {1 << _Q100_BIN_SHIFT}"))
+    binc = docs.groupBy("lang", "hb").agg(F.count("*").alias("cnt"))
+    binc = binc.persist(StorageLevel.MEMORY_AND_DISK)  # CDF walk + alloc
+
+    # --- apportionment over the ≤ n_langs-row table (bounded windows) ---
+    langs = binc.groupBy("lang").agg(F.sum("cnt").alias("n_l"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrk = Window.orderBy(F.desc("r_l"), F.asc("lang"))
+    alloc = (
+        langs.withColumn("n_total", F.sum("n_l").over(wall))
+        .withColumn("q_total", F.expr(f"n_total div {_Q100_FRAC}"))
+        # decimal(38,0) product: n_l·Q overflows int64 at corpus scale
+        .withColumn(
+            "f_l",
+            F.expr(
+                "CAST((CAST(n_l AS DECIMAL(38,0)) * q_total) div n_total"
+                " AS LONG)"
+            ),
+        )
+        .withColumn(
+            "r_l",
+            F.expr(
+                "CAST((CAST(n_l AS DECIMAL(38,0)) * q_total) % n_total"
+                " AS LONG)"
+            ),
+        )
+        .withColumn("d", F.expr("q_total - sum(f_l) OVER ()"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .withColumn(
+            "quota", F.expr("f_l + CASE WHEN rk <= d THEN 1 ELSE 0 END")
+        )
+        .select("lang", "n_l", "f_l", "r_l", "rk", "quota")
+    )
+
+    # --- threshold bin per lang from the CDF of the bounded histogram ---
+    wcum = Window.partitionBy("lang").orderBy("hb")
+    cum = binc.withColumn("cum", F.sum("cnt").over(wcum))
+    thr = (
+        cum.join(F.broadcast(alloc.select("lang", "quota")), "lang")
+        .filter(F.col("cum") >= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.min("hb").alias("t_bin"),
+            F.min_by(F.expr("cum - cnt"), F.col("hb")).alias("below"),
+            F.max("quota").alias("quota"),
+        )
+        .withColumn("extra", F.expr("quota - below"))
+        .select("lang", "t_bin", "below", "extra")
+    )
+
+    # --- selection in ONE corpus pass: keep hb ≤ T_l (quota subset + its
+    # bin), rank within (lang, hb) — below-threshold rows ignore their
+    # rank, threshold-bin rows keep rnk ≤ extra. The window partitions on
+    # (lang, hb), 65536 well-spread bins per lang — never the per-lang
+    # funnel a partitionBy(lang) over 10% of the corpus would be.
+    wbin = Window.partitionBy("lang", "hb").orderBy("h", "doc_id")
+    sel = (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("hb") <= F.col("t_bin"))
+        .withColumn("rnk", F.row_number().over(wbin))
+        .filter(
+            (F.col("hb") < F.col("t_bin")) | (F.col("rnk") <= F.col("extra"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sel"),
+            F.sum("doc_id").alias("sum_sel"),
+        )
+    )
+    return (
+        alloc.join(F.broadcast(thr.select("lang", "t_bin")), "lang")
+        .join(F.broadcast(sel), "lang", "left")
+        .select(
+            "lang",
+            F.col("n_l").cast("long").alias("n_docs"),
+            F.col("f_l").cast("long").alias("floor_share"),
+            F.col("r_l").cast("long").alias("remainder"),
+            F.col("rk").cast("int").alias("remainder_rank"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("t_bin").cast("long").alias("threshold_bin"),
+            F.expr("coalesce(n_sel, 0)").cast("long").alias("n_selected"),
+            F.expr("coalesce(sum_sel, 0)").cast("long").alias("val_checksum"),
+        )
+    )
+
+
+Q100_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM documents),
+db AS (SELECT doc_id, lang, h, h // {1 << _Q100_BIN_SHIFT} AS hb FROM d),
+binc AS (SELECT lang, hb, COUNT(*) AS cnt FROM db GROUP BY lang, hb),
+langs AS (SELECT lang, SUM(cnt) AS n_l FROM binc GROUP BY lang),
+alloc AS (
+  SELECT lang, n_l, f_l, r_l,
+         row_number() OVER (ORDER BY r_l DESC, lang ASC) AS rk,
+         f_l + CASE WHEN row_number() OVER (ORDER BY r_l DESC, lang ASC)
+                    <= q_total - SUM(f_l) OVER () THEN 1 ELSE 0 END AS quota
+  FROM (
+    SELECT lang, n_l,
+           CAST((CAST(n_l AS HUGEINT) * q_total) // n_total AS BIGINT) AS f_l,
+           CAST((CAST(n_l AS HUGEINT) * q_total) % n_total AS BIGINT) AS r_l,
+           q_total
+    FROM (SELECT lang, n_l,
+                 SUM(n_l) OVER () AS n_total,
+                 SUM(n_l) OVER () // {_Q100_FRAC} AS q_total
+          FROM langs))),
+cum AS (
+  SELECT lang, hb, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY hb) AS cum
+  FROM binc),
+thr AS (
+  SELECT c.lang,
+         MIN(c.hb) AS t_bin,
+         MIN_BY(c.cum - c.cnt, c.hb) AS below,
+         MAX(a.quota) - MIN_BY(c.cum - c.cnt, c.hb) AS extra
+  FROM cum c JOIN alloc a ON a.lang = c.lang
+  WHERE c.cum >= a.quota
+  GROUP BY c.lang),
+sel AS (
+  SELECT lang, COUNT(*) AS n_sel, SUM(doc_id) AS sum_sel
+  FROM (
+    SELECT db.lang, db.doc_id, db.hb, t.t_bin, t.extra,
+           row_number() OVER (PARTITION BY db.lang, db.hb
+                              ORDER BY db.h ASC, db.doc_id ASC) AS rnk
+    FROM db JOIN thr t ON t.lang = db.lang
+    WHERE db.hb <= t.t_bin)
+  WHERE hb < t_bin OR rnk <= extra
+  GROUP BY lang)
+SELECT a.lang,
+       CAST(a.n_l AS BIGINT) AS n_docs,
+       CAST(a.f_l AS BIGINT) AS floor_share,
+       CAST(a.r_l AS BIGINT) AS remainder,
+       CAST(a.rk AS INTEGER) AS remainder_rank,
+       CAST(a.quota AS BIGINT) AS quota,
+       CAST(t.t_bin AS BIGINT) AS threshold_bin,
+       CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.sum_sel, 0) AS BIGINT) AS val_checksum
+FROM alloc a
+JOIN thr t ON t.lang = a.lang
+LEFT JOIN sel s ON s.lang = a.lang
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -8347,6 +8526,7 @@ QUERIES = {
     "q97_sq8_recall": q97_sq8_recall,
     "q98_phrase_search": q98_phrase_search,
     "q99_range_split_points": q99_range_split_points,
+    "q100_quota_split": q100_quota_split,
 }
 
 ORACLES = {
@@ -8449,4 +8629,5 @@ ORACLES = {
     "q97_sq8_recall": Q97_SQL,
     "q98_phrase_search": Q98_SQL,
     "q99_range_split_points": Q99_SQL,
+    "q100_quota_split": Q100_SQL,
 }

@@ -107,6 +107,12 @@ _PINS = [
     ("q98_phrase_search", 3, 0, False),
     # q99: q59's bounded bin agg + the CDF window over the tiny bin table
     ("q99_range_split_points", 2, 0, False),
+    # q100: ONE corpus-scale (lang, hb) histogram agg + the selected-
+    # subset window; everything else (apportionment windows, CDF walk,
+    # final folds) replays over the persisted ≤65536·langs-row histogram.
+    # The 3 single-partition exchanges are the bounded ≤n_langs-row
+    # apportionment windows (q65's class).
+    ("q100_quota_split", 10, 3, False),
 ]
 
 

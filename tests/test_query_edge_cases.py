@@ -640,3 +640,23 @@ def test_q99_equi_depth_guarantee(spark):
             mass = b["cum_at_split"] - prev_cum
             assert abs(mass - n / _Q99_BUCKETS) < max_bin[et], (et, i, mass)
             prev_cum, prev_bin = b["cum_at_split"], b["split_bin"]
+
+
+def test_q100_exact_quota_realization(spark):
+    """The two properties q100 exists to provide, on real sf0.001 data:
+    (1) largest-remainder apportionment — per-lang quotas sum to exactly
+    N div 10 and differ from the floor share by at most 1; (2) the
+    histogram-CDF threshold selection realizes each quota EXACTLY
+    (n_selected == quota, every lang)."""
+    from img2table_spark.queries import _Q100_FRAC, q100_quota_split
+
+    rows = q100_quota_split(spark, "/root/testdata/sf0.001").collect()
+    n = sum(r["n_docs"] for r in rows)
+    assert sum(r["quota"] for r in rows) == n // _Q100_FRAC
+    for r in rows:
+        assert r["quota"] - r["floor_share"] in (0, 1), r
+        assert r["n_selected"] == r["quota"], r
+    # remainder ranks are a permutation (ties broken deterministically)
+    assert sorted(r["remainder_rank"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
