@@ -660,3 +660,23 @@ def test_q100_exact_quota_realization(spark):
     assert sorted(r["remainder_rank"] for r in rows) == list(
         range(1, len(rows) + 1)
     )
+
+
+def test_ann_recall_ladder(spark):
+    """The dial the q95/q96/q97 family documents, pinned on real data:
+    multi-probe strictly beats nprobe=1 (q96 > q95), and the
+    SQ8-compressed multi-probe store still beats uncompressed
+    single-probe (q97 >= q95) — quantization loss must stay far smaller
+    than the routing gain."""
+    from img2table_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def mean_recall(name):
+        return QUERIES[name](spark, sf).collect()[0]["mean_recall_ppm"]
+
+    r95 = mean_recall("q95_ann_recall")
+    r96 = mean_recall("q96_ann_multiprobe")
+    r97 = mean_recall("q97_sq8_recall")
+    assert r96 > r95, (r95, r96)
+    assert r97 >= r95, (r95, r97)

@@ -11,8 +11,10 @@ def test_every_query_has_an_oracle():
 
 
 def test_query_names_are_ordered_convention():
+    import re
+
     for name in QUERIES:
-        assert name[0] == "q" and name[1:3].isdigit() and name[3] == "_", name
+        assert re.match(r"^q\d{2,3}_", name), name
 
 
 def test_entrypoint_exposes_registries():
