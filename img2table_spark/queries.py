@@ -7991,8 +7991,16 @@ def _sq8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q97_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = _sq8_store(spark, sf_dir)
+def _adc_topk_hist(
+    spark: SparkSession, sf_dir: str, store: DataFrame
+) -> DataFrame:
+    """Shared asymmetric-distance audit arm (q97 SQ8 / q102 PQ): score the
+    q96 multi-probe candidate set through a RECONSTRUCTED store — (vec_id,
+    bucket, rv, nb) with rv the compressed-then-decoded integer vector —
+    while the query side stays full-precision, then report top-k overlap
+    through the q95/q96 recall frame. Identical probe selection and
+    candidate sets across q96/q97/q102, so recall deltas isolate pure
+    quantization loss per compression level."""
     q = _multiprobe_query_sample(spark, sf_dir).select(
         "query_id",
         "qiv",
@@ -8023,6 +8031,10 @@ def q97_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     return _ann_recall_hist(spark, sf_dir, approx)
+
+
+def q97_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adc_topk_hist(spark, sf_dir, _sq8_store(spark, sf_dir))
 
 
 _Q97_DOT = (
@@ -8426,6 +8438,555 @@ LEFT JOIN sel s ON s.lang = a.lang
 """
 
 
+# --------------------------------------------------------------------------
+# q101 — n-gram language identification: the classic fastText-style
+# heuristic (hashed character-trigram Naive-Bayes profile per language)
+# as a corpus-scale classification pass. The label set is FIXED by the
+# model (_LID_LANGS — real lang-ID models ship a closed label set);
+# training reads the doc_id%10<8 split, evaluation tags every doc with
+# its split so the confusion matrix separates in-sample from held-out.
+# Integer-exact throughout (q35/q64 discipline): per-(lang,bucket)
+# add-one profile scores in ppm via decimal(38,0), document score =
+# sum of bucket scores over trigram OCCURRENCES, argmax by a fixed
+# lang-ascending CASE chain (ties → lexicographically smallest lang).
+# NOTE (honesty): this synthetic corpus draws every lang's text from
+# one shared vocabulary, so measured held-out accuracy ≈ the class
+# prior — the AUDIT output is the point, exactly like q95's recall.
+# Scale shape: profile = ONE map-side-combinable agg folding the corpus
+# to ≤ _LID_B rows (5 conditional sums wide, window over that bounded
+# table only); classification = explode → broadcast profile join →
+# ONE (doc_id) agg; the confusion matrix is a ≤ 2·|langs|²-row agg.
+# No per-doc state, no driver loop; trigram stream never reshuffles on
+# anything but doc_id.
+# --------------------------------------------------------------------------
+
+_LID_LANGS = ["de", "en", "es", "fr", "zh"]
+_LID_B = 256
+
+
+def _lid_pred_case(prefix: str = "s_") -> str:
+    """Shared argmax CASE chain: first lang (ascending) whose score ties
+    the max wins — identical text in both engines."""
+    arms = []
+    for lang in _LID_LANGS:
+        conds = " AND ".join(
+            f"{prefix}{lang} >= {prefix}{other}"
+            for other in _LID_LANGS
+            if other != lang
+        )
+        arms.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def q101_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tri = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .withColumn(
+            "bkt",
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+            % _LID_B,
+        )
+        .select("doc_id", "lang", "bkt")
+    )
+    prof = (
+        tri.filter(F.expr("doc_id % 10 < 8"))
+        .groupBy("bkt")
+        .agg(
+            *[
+                F.sum((F.col("lang") == lang).cast("long")).alias(f"c_{lang}")
+                for lang in _LID_LANGS
+            ]
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for lang in _LID_LANGS:
+        prof = prof.withColumn(f"t_{lang}", F.sum(f"c_{lang}").over(wall))
+    prof = prof.select(
+        "bkt",
+        *[
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_{lang} + 1))"
+                f" div (t_{lang} + {_LID_B}) AS LONG)"
+            ).alias(f"p_{lang}")
+            for lang in _LID_LANGS
+        ],
+    )
+    sc = (
+        tri.join(F.broadcast(prof), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            *[F.sum(f"p_{lang}").alias(f"s_{lang}") for lang in _LID_LANGS]
+        )
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END"
+            ).alias("split"),
+        )
+        .join(sc, "doc_id", "left")
+        .select(
+            "lang",
+            "split",
+            *[
+                F.coalesce(F.col(f"s_{lang}"), F.lit(0)).alias(f"s_{lang}")
+                for lang in _LID_LANGS
+            ],
+        )
+    )
+    return (
+        scored.withColumn("pred_lang", F.expr(_lid_pred_case()))
+        .groupBy("split", F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+Q101_SQL = f"""
+WITH tri AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(substr(text, g.i, 3)), 1, 4))::BIGINT
+           % {_LID_B} AS bkt
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i) g
+  WHERE len(text) >= 3),
+prof AS (
+  SELECT bkt,
+         {", ".join(f"SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS c_{lang}" for lang in _LID_LANGS)}
+  FROM tri WHERE doc_id % 10 < 8 GROUP BY bkt),
+p AS (
+  SELECT bkt,
+         {", ".join(f"CAST(CAST(1000000 AS HUGEINT) * (c_{lang} + 1) // (SUM(c_{lang}) OVER () + {_LID_B}) AS BIGINT) AS p_{lang}" for lang in _LID_LANGS)}
+  FROM prof),
+sc AS (
+  SELECT doc_id,
+         {", ".join(f"CAST(SUM(p_{lang}) AS BIGINT) AS s_{lang}" for lang in _LID_LANGS)}
+  FROM tri JOIN p USING (bkt) GROUP BY doc_id),
+scored AS (
+  SELECT d.lang,
+         CASE WHEN d.doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END AS split,
+         {", ".join(f"COALESCE(s.s_{lang}, 0) AS s_{lang}" for lang in _LID_LANGS)}
+  FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id)
+SELECT split, lang AS true_lang, {_lid_pred_case()} AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q102 — product quantization (PQ) ADC recall audit: the next rung DOWN
+# the compression ladder q84/q97 started. SQ8 keeps 8 bits/DIMENSION
+# (d bytes/vector); PQ stores _PQ_M 4-bit codes/vector (log2(_PQ_K)·m =
+# 4 bytes here vs 64 — the FAISS IVF-PQ memory shape for billion-vector
+# stores). Per-subspace codebooks are trained with the q87 Lloyd
+# discipline (seeds = first _PQ_K vec_ids' subvectors, _PQ_ITERS
+# iterations, integer centroids via floor-division means, argmin ties →
+# lowest code); encoding and decoding are ONE broadcast-codebook Arrow
+# pass over the memoized IVF index (zero extra exchanges — the m·k·dsub
+# = d·k codebook is broadcast, never plan literals). The audit scores
+# the q96 multi-probe candidate set through the PQ-RECONSTRUCTED store
+# (query full-precision) in the shared _adc_topk_hist frame, so recall
+# vs q96/q97 isolates pure PQ loss — q96 ≥ q97 ≥/≈ q102 is the
+# documented ladder (q96's full-precision re-rank is provably maximal
+# for the shared candidate set; see tests/test_ann_ladder.py).
+# Cross-engine exactness: same int64 dot / IEEE-double cos expression
+# as q97; the oracle replays every Lloyd iteration as unrolled
+# MATERIALIZED CTEs (the q87 replay, per subspace).
+# --------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_K = 16
+_PQ_ITERS = 2
+
+_PQ_MEMO: dict = {}
+
+
+def _pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket, rv, nb): the IVF index with each vector replaced
+    by its PQ reconstruction (concatenated nearest sub-centroids) + the
+    reconstruction's squared norm. Codebooks trained on the quantized
+    integer embeddings; memoized per (session, sf_dir)."""
+    import math
+
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+
+    emb = (
+        _quantized_emb(spark, sf_dir)
+        .select("vec_id", "qv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # bounded: exactly _PQ_K rows (the q87 seeding contract)
+    seeds = emb.orderBy("vec_id").limit(_PQ_K).collect()
+    S = np.array(
+        [r["qv"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
+        dtype=np.int64,
+    )
+    d = S.shape[1]
+    if d % _PQ_M:
+        raise ValueError(f"embedding dim {d} not divisible by m={_PQ_M}")
+    dsub = d // _PQ_M
+    # cents[s][c] = subvector s of seed vector c
+    cents = S.reshape(_PQ_K, _PQ_M, dsub).transpose(1, 0, 2).copy()
+
+    def _codes_udf(book):
+        bc = spark.sparkContext.broadcast(book)
+
+        @F.pandas_udf("array<long>")
+        def codes_of(qv: pd.Series) -> pd.Series:
+            B = bc.value
+            P = np.array(qv.tolist(), dtype=np.int64)
+            m, _, ds = B.shape
+            out = np.empty((P.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                out[:, s] = _sq_dists(
+                    P[:, s * ds : (s + 1) * ds], B[s]
+                ).argmin(axis=1)
+            return pd.Series(out.tolist())
+
+        return codes_of
+
+    for _ in range(_PQ_ITERS):
+        asg = emb.withColumn("codes", _codes_udf(cents)(F.col("qv")))
+        cells = (
+            asg.select("codes", F.posexplode("qv").alias("dim", "x"))
+            .withColumn(
+                "code", F.expr(f"codes[cast(dim div {dsub} as int)]")
+            )
+            .withColumn("sub", F.expr(f"dim div {dsub}"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("x").alias("sm"), F.count("*").alias("cnt"))
+            .collect()  # bounded: ≤ m·k·dsub = d·k rows
+        )
+        nxt = cents.copy()  # empty code cell keeps its centroid
+        for r in cells:
+            s, c = int(r["sub"]), int(r["code"])
+            # float-division floor — bit-identical to the oracle's
+            # FLOOR(CAST(sm AS DOUBLE) / cnt) (the q87 centroid rule)
+            nxt[s][c][int(r["dim"]) - s * dsub] = int(
+                math.floor(int(r["sm"]) / int(r["cnt"]))
+            )
+        cents = nxt
+
+    bcf = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("array<long>")
+    def recon_of(qv: pd.Series) -> pd.Series:
+        B = bcf.value
+        P = np.array(qv.tolist(), dtype=np.int64)
+        m, _, ds = B.shape
+        out = np.empty((P.shape[0], m * ds), dtype=np.int64)
+        for s in range(m):
+            codes = _sq_dists(P[:, s * ds : (s + 1) * ds], B[s]).argmin(
+                axis=1
+            )
+            out[:, s * ds : (s + 1) * ds] = B[s][codes]
+        return pd.Series(out.tolist())
+
+    store = (
+        _ivf_assigned(spark, sf_dir)
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr(
+                "transform(v, x -> cast(floor(x * 1000000D + 0.5D) AS bigint))"
+            ).alias("qv"),
+        )
+        .withColumn("rv", recon_of(F.col("qv")))
+        .withColumn(
+            "nb",
+            F.expr(
+                "aggregate(zip_with(rv, rv, (x, y) -> x * y), 0L,"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .select("vec_id", "bucket", "rv", "nb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _memo_put(_PQ_MEMO, key, [store], spark)
+    return store
+
+
+def q102_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adc_topk_hist(spark, sf_dir, _pq_store(spark, sf_dir))
+
+
+def _pq_sql_ctes() -> str:
+    """Unrolled per-subspace Lloyd replay (the q87 oracle pattern, with a
+    (sub, cid) compound key) ending in rnorm (vec_id, rv, nb)."""
+    sl = f"[b.sub * (len({{v}}) // {_PQ_M}) + 1 : (b.sub + 1) * (len({{v}}) // {_PQ_M})]"
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len(s.sv)), "
+        "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""psub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+pcent0 AS MATERIALIZED (
+  SELECT b.sub, p.rn - 1 AS cid, p.qv{sl.format(v='p.qv')} AS cv
+  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM e) p,
+       psub b
+  WHERE p.rn <= {_PQ_K}),
+esub AS MATERIALIZED (
+  SELECT e.vec_id, b.sub, e.qv{sl.format(v='e.qv')} AS sv
+  FROM e, psub b)"""
+    ]
+    prev = "pcent0"
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""passign{t} AS MATERIALIZED (
+  SELECT vec_id, sub, sv, cid FROM (
+    SELECT s.vec_id, s.sub, s.sv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {sqd} ASC, c.cid ASC) AS rk
+    FROM esub s JOIN {prev} c ON c.sub = s.sub) WHERE rk = 1),
+pnewc{t} AS MATERIALIZED (
+  SELECT sub, cid,
+         list(CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+              ORDER BY dim) AS cv
+  FROM (
+    SELECT a.sub, a.cid, d.i AS dim, SUM(a.sv[d.i]) AS sm, COUNT(*) AS cnt
+    FROM passign{t} a,
+         LATERAL (SELECT unnest(generate_series(1, len(a.sv))) AS i) d
+    GROUP BY a.sub, a.cid, d.i) GROUP BY sub, cid),
+pcent{t} AS MATERIALIZED (
+  SELECT p.sub, p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN pnewc{t} n ON n.sub = p.sub AND n.cid = p.cid)"""
+        )
+        prev = f"pcent{t}"
+    parts.append(
+        f"""pfin AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM (
+    SELECT s.vec_id, s.sub, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {sqd} ASC, c.cid ASC) AS rk
+    FROM esub s JOIN {prev} c ON c.sub = s.sub) WHERE rk = 1),
+prv AS MATERIALIZED (
+  SELECT f.vec_id, flatten(list(c.cv ORDER BY c.sub)) AS rv
+  FROM pfin f JOIN {prev} c ON c.sub = f.sub AND c.cid = f.cid
+  GROUP BY f.vec_id),
+rnorm AS MATERIALIZED (
+  SELECT vec_id, rv,
+         CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) AS nb
+  FROM prv)"""
+    )
+    return ",\n".join(parts)
+
+
+Q102_SQL = f"""
+WITH {_IVF_CTES},
+{_ivf_leaves_sql()},
+{_pq_sql_ctes()},
+q AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, a.v AS qv, e.qv AS qiv,
+         CAST(list_sum(list_transform(e.qv, x -> x * x)) AS BIGINT) AS na
+  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 50 = 0),
+mp AS MATERIALIZED (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, l.bucket,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_Q96_QDIST} ASC, l.bucket ASC) AS rk
+    FROM q, leaves l) WHERE rk <= {_NPROBE}),
+pq AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosd DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT p.query_id, a.vec_id,
+             CAST({_Q97_DOT} AS DOUBLE)
+               / sqrt(CAST(q2.na AS DOUBLE) * CAST(r.nb AS DOUBLE)) AS cosd
+      FROM mp p
+      JOIN assigned a ON a.bucket = p.bucket
+      JOIN rnorm r ON r.vec_id = a.vec_id
+      JOIN q q2 ON q2.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id)
+  ) WHERE rank <= {_TOPK}),
+{_ann_audit_tail_sql("pq")}
+"""
+
+
+# --------------------------------------------------------------------------
+# q103 — event-rate anomaly detection via robust statistics: per
+# (event_type, hour) counts, flagged against the type's MEDIAN ± k·MAD —
+# the standard ops/telemetry screen (mean/stddev break on the very
+# spikes being hunted; median/MAD don't). Both medians use q57's exact
+# rank arithmetic ((50·n + 99) div 100 over an explicit deterministic
+# ordering) so tie-handling is engine-identical — no builtin quantiles.
+# Flag rule (integer): |n − med| > 3·mad AND |n − med| ≥ 3 (the
+# absolute floor keeps mad=0 types from flagging ±1 jitter).
+# Scale shape: the corpus folds to the BOUNDED (event_type, hour) table
+# in ONE map-side-combinable agg; every window after that partitions by
+# event_type over ≤ #hours rows per type (the q59-histogram class, not
+# a corpus window). At 100 TB the hour table is ~10⁵ rows/type-year —
+# trivially bounded.
+# --------------------------------------------------------------------------
+
+
+def q103_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            "event_type",
+            F.expr(f"({_EV_US_SPARK}) div 3600000000").alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # bounded; 3 consumers
+    )
+    wm = Window.partitionBy("event_type").orderBy("n", "hb")
+    wc = Window.partitionBy("event_type")
+    med = (
+        cnt.withColumn("rn", F.row_number().over(wm))
+        .withColumn("m", F.count("*").over(wc))
+        .filter(F.expr("rn = (50 * m + 99) div 100"))
+        .select("event_type", F.col("n").alias("med"))
+    )
+    dev = cnt.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    wa = Window.partitionBy("event_type").orderBy("ad", "hb")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wa))
+        .withColumn("m", F.count("*").over(wc))
+        .filter(F.expr("rn = (50 * m + 99) div 100"))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.expr("ad > 3 * mad AND ad >= 3"))
+        .select(
+            "event_type",
+            F.col("hb").alias("hour_bucket"),
+            F.col("n").alias("n_events"),
+            "med",
+            "mad",
+            F.col("ad").alias("abs_dev"),
+        )
+    )
+
+
+Q103_SQL = f"""
+WITH cnt AS (
+  SELECT event_type,
+         {_EV_US_SQL} // 3600000000 AS hb,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, n AS med FROM (
+    SELECT event_type, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n, hb) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM cnt) WHERE rn = (50 * m + 99) // 100),
+dev AS (
+  SELECT c.event_type, c.hb, c.n, d.med, abs(c.n - d.med) AS ad
+  FROM cnt c JOIN med d ON d.event_type = c.event_type),
+mad AS (
+  SELECT event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ad, hb) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM dev) WHERE rn = (50 * m + 99) // 100)
+SELECT d.event_type,
+       CAST(d.hb AS BIGINT) AS hour_bucket,
+       CAST(d.n AS BIGINT) AS n_events,
+       CAST(d.med AS BIGINT) AS med,
+       CAST(m.mad AS BIGINT) AS mad,
+       CAST(d.ad AS BIGINT) AS abs_dev
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE d.ad > 3 * m.mad AND d.ad >= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q104 — dedup-aware sampling weights: every near-dup cluster (q16's
+# verified MinHash components) contributes ONE document of probability
+# mass, split evenly — w_ppm = 10⁶ div cluster_size, singletons keep
+# 10⁶ — the standard de-biasing step between dedup DETECTION and
+# training-mix construction (down-weighting instead of q23's hard
+# purge). Rolled up per lang: raw vs effective doc counts and raw vs
+# effective character mass (what a sampler drawing by these weights
+# would actually feed the model). Sums accumulate in decimal(38,0)
+# (n_chars·w_ppm ~ 10¹⁰/doc — int64 would overflow at corpus scale).
+# Scale shape: reuses the memoized _lp_labels table (zero extra LP
+# rounds); cluster sizes = one agg on the bounded graph-node table;
+# the only corpus-scale operation is the broadcast-able left join of
+# documents against the clustered-node weight table + ONE map-side-
+# combinable lang rollup.
+# --------------------------------------------------------------------------
+
+
+def q104_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _lp_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("csz"))
+    wts = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.expr("1000000 div csz").alias("w_ppm"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(wts, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("w_ppm").isNotNull().cast("long")).alias(
+                "n_downweighted"
+            ),
+            F.expr(
+                "CAST(sum(CAST(coalesce(w_ppm, 1000000) AS DECIMAL(38,0)))"
+                " AS LONG)"
+            ).alias("eff_docs_ppm"),
+            F.expr(
+                "CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS LONG)"
+            ).alias("n_chars_total"),
+            F.expr(
+                "CAST(sum(CAST(n_chars AS DECIMAL(38,0))"
+                " * coalesce(w_ppm, 1000000)) AS LONG)"
+            ).alias("eff_chars_ppm"),
+        )
+    )
+
+
+Q104_SQL = f"""
+WITH RECURSIVE {_Q16_CTES},
+csizes AS MATERIALIZED (
+  SELECT label, COUNT(*) AS csz FROM comp GROUP BY label),
+wts AS MATERIALIZED (
+  SELECT c.node AS doc_id, 1000000 // s.csz AS w_ppm
+  FROM comp c JOIN csizes s ON s.label = c.label)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN w.w_ppm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_downweighted,
+       CAST(SUM(COALESCE(w.w_ppm, 1000000)) AS BIGINT) AS eff_docs_ppm,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(CAST(d.n_chars AS HUGEINT) * COALESCE(w.w_ppm, 1000000))
+            AS BIGINT) AS eff_chars_ppm
+FROM documents d LEFT JOIN wts w ON w.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -8527,6 +9088,10 @@ QUERIES = {
     "q98_phrase_search": q98_phrase_search,
     "q99_range_split_points": q99_range_split_points,
     "q100_quota_split": q100_quota_split,
+    "q101_lang_id": q101_lang_id,
+    "q102_pq_adc_recall": q102_pq_adc_recall,
+    "q103_rate_anomaly": q103_rate_anomaly,
+    "q104_dedup_weights": q104_dedup_weights,
 }
 
 ORACLES = {
@@ -8630,4 +9195,8 @@ ORACLES = {
     "q98_phrase_search": Q98_SQL,
     "q99_range_split_points": Q99_SQL,
     "q100_quota_split": Q100_SQL,
+    "q101_lang_id": Q101_SQL,
+    "q102_pq_adc_recall": Q102_SQL,
+    "q103_rate_anomaly": Q103_SQL,
+    "q104_dedup_weights": Q104_SQL,
 }

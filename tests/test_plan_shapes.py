@@ -113,6 +113,21 @@ _PINS = [
     # The 3 single-partition exchanges are the bounded ≤n_langs-row
     # apportionment windows (q65's class).
     ("q100_quota_split", 10, 3, False),
+    # q101: trigram explode → ≤256-row profile agg (its ppm window is the
+    # single-partition exchange over that bounded table), broadcast
+    # profile join, ONE (doc_id) score agg + the docs left join; the
+    # confusion matrix folds map-side.
+    ("q101_lang_id", 4, 1, False),
+    # q102: identical audit frame to q95/q96/q97 — PQ training runs
+    # eagerly (bounded d·k collects); the live plan adds only the
+    # broadcast-codebook reconstruction map over the memoized index.
+    ("q102_pq_adc_recall", 8, 1, True),
+    # q103: ONE corpus fold to the bounded (event_type, hour) table;
+    # median/MAD windows partition by event_type over that table only.
+    ("q103_rate_anomaly", 3, 0, False),
+    # q104: cluster sizes + weights over the memoized LP label table
+    # (graph nodes only), docs left join on doc_id + ONE lang rollup.
+    ("q104_dedup_weights", 5, 0, False),
 ]
 
 

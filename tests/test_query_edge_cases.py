@@ -680,3 +680,105 @@ def test_ann_recall_ladder(spark):
     r97 = mean_recall("q97_sq8_recall")
     assert r96 > r95, (r95, r96)
     assert r97 >= r95, (r95, r97)
+    # q96 re-ranks the shared candidate set at FULL precision, so its
+    # overlap with exact ground truth is provably maximal for that set —
+    # every compressed re-scoring (SQ8 q97, PQ q102) can only tie or lose.
+    r102 = mean_recall("q102_pq_adc_recall")
+    assert r97 <= r96, (r97, r96)
+    assert r102 <= r96, (r102, r96)
+    assert r102 > 0, r102
+
+
+def test_q103_planted_spikes_and_boundaries(spark, tmp_path):
+    """Planted event streams pin BOTH flag-rule boundaries:
+    type 'a' (mad = 0): a 25-event spike flags, but a 12-event hour does
+    NOT — |n−med| = 2 fails the ≥3 absolute floor that keeps mad=0 types
+    from flagging jitter. type 'b' (mad = 1): ad = 4 > 3·mad flags,
+    ad = 3 does NOT — the comparison is strictly greater-than."""
+    from datetime import datetime, timedelta
+
+    from img2table_spark.queries import q103_rate_anomaly
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+
+    def hour(et, h, n):
+        for i in range(n):
+            rows.append((et, t0 + timedelta(hours=h, minutes=i)))
+
+    for h in range(50):
+        hour("a", h, 10)  # med = 10, mad = 0
+    hour("a", 50, 25)  # ad = 15 → flagged
+    hour("a", 51, 12)  # ad = 2 → NOT flagged (absolute floor)
+    for h in range(4):
+        hour("b", h, 10)
+        hour("b", 4 + h, 11)
+        hour("b", 8 + h, 12)  # med = 11, mad = 1
+    hour("b", 12, 15)  # ad = 4 > 3·mad → flagged
+    hour("b", 13, 14)  # ad = 3 = 3·mad → NOT flagged (strict >)
+
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["event_type"], r["hour_bucket"]): r
+        for r in q103_rate_anomaly(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("a", 50), ("b", 12)}, sorted(out)
+    assert out[("a", 50)]["med"] == 10 and out[("a", 50)]["mad"] == 0
+    assert out[("b", 12)]["med"] == 11 and out[("b", 12)]["mad"] == 1
+    assert out[("b", 12)]["abs_dev"] == 4
+
+
+def test_q101_confusion_matrix_is_a_partition(spark):
+    """The confusion matrix partitions the corpus: row sums equal the
+    per-(split, lang) doc counts, and every prediction stays inside the
+    model's closed label set."""
+    from img2table_spark.queries import _LID_LANGS, _t, q101_lang_id
+
+    sf = "/root/testdata/sf0.001"
+    out = q101_lang_id(spark, sf).collect()
+    assert all(r["pred_lang"] in _LID_LANGS for r in out)
+    got = {}
+    for r in out:
+        k = (r["split"], r["true_lang"])
+        got[k] = got.get(k, 0) + r["n_docs"]
+    import pyspark.sql.functions as SF
+
+    exp = {
+        (r["split"], r["lang"]): r["n"]
+        for r in _t(spark, sf, "documents")
+        .groupBy(
+            SF.expr(
+                "CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END"
+            ).alias("split"),
+            "lang",
+        )
+        .agg(SF.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_q104_mass_conservation(spark):
+    """Dedup-aware weights conserve probability mass exactly: the global
+    effective doc mass equals 10⁶ per singleton plus size·(10⁶ div size)
+    per q16 cluster (the floor-division remainder is the only loss), and
+    per-lang bounds hold."""
+    from img2table_spark.queries import q16_dedup_clusters, q104_dedup_weights
+
+    sf = "/root/testdata/sf0.001"
+    rows = q104_dedup_weights(spark, sf).collect()
+    clusters = q16_dedup_clusters(spark, sf).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_down = sum(r["n_downweighted"] for r in rows)
+    assert n_down == sum(c["cluster_size"] for c in clusters)
+    expected_mass = 1_000_000 * (n_docs - n_down) + sum(
+        c["cluster_size"] * (1_000_000 // c["cluster_size"])
+        for c in clusters
+    )
+    assert sum(r["eff_docs_ppm"] for r in rows) == expected_mass
+    for r in rows:
+        assert r["n_downweighted"] <= r["n_docs"], r
+        assert r["eff_docs_ppm"] <= 1_000_000 * r["n_docs"], r
+        assert r["eff_chars_ppm"] <= 1_000_000 * r["n_chars_total"], r
