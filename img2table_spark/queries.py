@@ -8841,17 +8841,12 @@ pq AS MATERIALIZED (
 # --------------------------------------------------------------------------
 
 
-def q103_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    cnt = (
-        ev.select(
-            "event_type",
-            F.expr(f"({_EV_US_SPARK}) div 3600000000").alias("hb"),
-        )
-        .groupBy("event_type", "hb")
-        .agg(F.count("*").alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # bounded; 3 consumers
-    )
+def _rate_flags(cnt: DataFrame) -> DataFrame:
+    """Shared robust-flag fold over a bounded (event_type, hb, n) hourly
+    count table — batch q103 builds the table with one corpus agg;
+    streaming/anomaly.py feeds the SAME fold the counts its watermarked
+    tumbling-window stream emitted (stream ≡ batch pinned there). Every
+    window partitions by event_type over ≤ #hours rows per type."""
     wm = Window.partitionBy("event_type").orderBy("n", "hb")
     wc = Window.partitionBy("event_type")
     med = (
@@ -8882,6 +8877,20 @@ def q103_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ad").alias("abs_dev"),
         )
     )
+
+
+def q103_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            "event_type",
+            F.expr(f"({_EV_US_SPARK}) div 3600000000").alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # bounded; 3 consumers
+    )
+    return _rate_flags(cnt)
 
 
 Q103_SQL = f"""
