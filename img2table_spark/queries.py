@@ -6111,21 +6111,26 @@ _BPE_STEPS = 3
 _BPE_MEMO: dict = {}
 
 
-def _bpe_chain(spark: SparkSession, sf_dir: str) -> list:
+def _bpe_chain(
+    spark: SparkSession, sf_dir: str, train_filter: str | None = None
+) -> list:
     """The BPE merge chain: [(vocab_after_step_i, top_pair_i)] for steps
     1.._BPE_STEPS. Every vocab generation is persisted — it feeds THREE
     branches (pair counts, the rewritten next generation, and q82's mass
     checksum); unpersisted, each branch replays the whole chain back to
     the corpus scan. The vocab is bounded (distinct words ≪ corpus), so
     this is the LP-labels iterative-persist discipline, not a cache of
-    corpus-scale data. Shared by q82 (training output) and q85 (encode)
-    and memoized per (session, sf_dir) like the band/IVF indexes — a
-    tokenizer is trained once per corpus and applied many times."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    corpus-scale data. Shared by q82 (training output), q85 (encode) and
+    q105 (equity audit, which trains on `train_filter` only) and memoized
+    per (session, sf_dir, filter) like the band/IVF indexes — a tokenizer
+    is trained once per corpus and applied many times."""
+    key = (spark.sparkContext.applicationId, sf_dir, train_filter)
     hit = _BPE_MEMO.get(key)
     if hit is not None:
         return hit
     docs = _t(spark, sf_dir, "documents")
+    if train_filter is not None:
+        docs = docs.filter(F.expr(train_filter))
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -8996,6 +9001,116 @@ GROUP BY d.lang
 """
 
 
+# --------------------------------------------------------------------------
+# q105 — tokenizer equity audit (train/holdout fertility + OOV): train
+# the q82 BPE chain on the doc_id%10<8 split ONLY (q101's split
+# convention), then measure, per (split, lang): word count, OOV rate
+# (corpus words absent from the learned vocab — only possible in
+# heldout), BPE token mass with CHARACTER-LEVEL FALLBACK for OOV words
+# (an unseen word costs len(word) symbol tokens — the byte-fallback
+# convention real BPE tokenizers use), fertility (tokens per word, ppm)
+# and chars-per-token (ppm). This is the standard tokenizer-fairness
+# measurement: a tokenizer trained on an unbalanced mix inflates
+# fertility for under-represented languages, and the per-lang heldout
+# rows are exactly the table that audit reads. Integer-exact; the 10⁶
+# products accumulate in decimal(38,0)/HUGEINT (at 10¹²-token scale
+# 10⁶·Σtokens overflows int64).
+# Scale shape: training runs on the BOUNDED word-frequency vocab of the
+# train split (q82's discipline); the audit is ONE corpus-scale LEFT
+# equi-join of the exploded word stream against the final vocab (vocab
+# ≪ corpus → broadcast at gate scale, SMJ on word at 100 TB — the q85
+# transition) followed by ONE map-side-combinable (split, lang) agg.
+# --------------------------------------------------------------------------
+
+_Q105_TRAIN = "doc_id % 10 < 8"
+
+
+def q105_tokenizer_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fv = _bpe_chain(spark, sf_dir, _Q105_TRAIN)[-1][0].select(
+        "word",
+        F.expr("size(split(repr, '  '))").cast("long").alias("n_syms"),
+    )
+    dw = docs.select(
+        F.expr(
+            "CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END"
+        ).alias("split"),
+        "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    return (
+        dw.join(fv, "word", "left")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("n_syms").isNull().cast("long")).alias("n_oov_words"),
+            F.sum(F.expr("coalesce(n_syms, length(word))")).alias(
+                "n_bpe_tokens"
+            ),
+            F.sum(F.length("word").cast("long")).alias("n_chars"),
+        )
+        .select(
+            "split",
+            "lang",
+            "n_words",
+            "n_oov_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr(
+                "CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)"
+                " div n_words AS LONG)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST((CAST(n_oov_words AS DECIMAL(38,0)) * 1000000)"
+                " div n_words AS LONG)"
+            ).alias("oov_ppm"),
+            F.expr(
+                "CAST((CAST(n_chars AS DECIMAL(38,0)) * 1000000)"
+                " div greatest(n_bpe_tokens, 1) AS LONG)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )
+
+
+Q105_SQL = (
+    f"""
+WITH words AS (
+  SELECT tok AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+        WHERE {_Q105_TRAIN}) z
+  GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(str_split(word, ''), '  ') AS repr
+  FROM words),"""
+    + ",".join(_bpe_sql_level(i) for i in range(1, _BPE_STEPS + 1))
+    + f""",
+fv AS (
+  SELECT word, CAST(len(str_split(repr, '  ')) AS BIGINT) AS n_syms
+  FROM v{_BPE_STEPS}),
+dw AS (
+  SELECT CASE WHEN {_Q105_TRAIN} THEN 'train' ELSE 'heldout' END AS split,
+         lang, unnest(str_split(text, ' ')) AS word
+  FROM documents)
+SELECT split, lang,
+       COUNT(*) AS n_words,
+       CAST(SUM(CASE WHEN f.n_syms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_words,
+       CAST(SUM(COALESCE(f.n_syms, len(dw.word))) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+       CAST((1000000 * SUM(COALESCE(f.n_syms, len(dw.word)))) // COUNT(*)
+            AS BIGINT) AS fertility_ppm,
+       CAST((1000000 * SUM(CASE WHEN f.n_syms IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS oov_ppm,
+       CAST((1000000 * SUM(len(dw.word)))
+            // GREATEST(SUM(COALESCE(f.n_syms, len(dw.word))), 1)
+            AS BIGINT) AS chars_per_token_ppm
+FROM dw LEFT JOIN fv f USING (word)
+GROUP BY split, lang
+"""
+)
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -9101,6 +9216,7 @@ QUERIES = {
     "q102_pq_adc_recall": q102_pq_adc_recall,
     "q103_rate_anomaly": q103_rate_anomaly,
     "q104_dedup_weights": q104_dedup_weights,
+    "q105_tokenizer_equity": q105_tokenizer_equity,
 }
 
 ORACLES = {
@@ -9208,4 +9324,5 @@ ORACLES = {
     "q102_pq_adc_recall": Q102_SQL,
     "q103_rate_anomaly": Q103_SQL,
     "q104_dedup_weights": Q104_SQL,
+    "q105_tokenizer_equity": Q105_SQL,
 }

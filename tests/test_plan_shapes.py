@@ -128,6 +128,11 @@ _PINS = [
     # q104: cluster sizes + weights over the memoized LP label table
     # (graph nodes only), docs left join on doc_id + ONE lang rollup.
     ("q104_dedup_weights", 5, 0, False),
+    # q105: q85's encode shape with a LEFT join (OOV must survive), so the
+    # cold initial plan can't build-left: SMJ on word (2 exchanges — the
+    # intended 100-TB shape; AQE swaps in the vocab broadcast at runtime
+    # once the InMemoryRelation materializes) + ONE (split, lang) agg.
+    ("q105_tokenizer_equity", 3, 0, False),
 ]
 
 

@@ -782,3 +782,32 @@ def test_q104_mass_conservation(spark):
         assert r["n_downweighted"] <= r["n_docs"], r
         assert r["eff_docs_ppm"] <= 1_000_000 * r["n_docs"], r
         assert r["eff_chars_ppm"] <= 1_000_000 * r["n_chars_total"], r
+
+
+def test_q105_oov_fallback_accounting(spark, tmp_path):
+    """Planted train/heldout corpus with a hand-computable merge chain:
+    train = {ab×6, abc×3, efgh×2} → merges (a,b), (ab,c), then the
+    (e,f)/(f,g)/(g,h) tie breaks lexicographically to (e,f) — final
+    vocab ab=1, abc=1, efgh=3 symbols. The heldout doc's unseen word
+    'zzzz' must be counted OOV and charged len(word)=4 fallback tokens;
+    train-side OOV is 0 by construction."""
+    from img2table_spark.queries import q105_tokenizer_equity
+
+    rows = [
+        (0, "en", "ab ab ab ab ab ab abc abc abc efgh efgh"),
+        (8, "en", "ab efgh zzzz abc"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["split"]: r
+        for r in q105_tokenizer_equity(spark, str(tmp_path)).collect()
+    }
+    tr, ho = out["train"], out["heldout"]
+    assert (tr["n_words"], tr["n_oov_words"], tr["n_bpe_tokens"]) == (11, 0, 15)
+    assert (ho["n_words"], ho["n_oov_words"], ho["n_bpe_tokens"]) == (4, 1, 9)
+    assert ho["n_chars"] == 13
+    assert ho["fertility_ppm"] == 9_000_000 // 4
+    assert ho["oov_ppm"] == 1_000_000 // 4
+    assert ho["chars_per_token_ppm"] == 13_000_000 // 9
