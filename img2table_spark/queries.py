@@ -8483,13 +8483,15 @@ def _lid_pred_case(prefix: str = "s_") -> str:
     return "CASE " + " ".join(arms) + " END"
 
 
-def q101_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tri = (
-        docs.filter(F.length("text") >= 3)
+def _lid_trigrams(df: DataFrame) -> DataFrame:
+    """Explode a (…, text) frame into one row per character trigram with
+    its hashed profile bucket — shared by batch q101 and the serve-path
+    stream (streaming/classify.py); extra columns (e.g. the stream's
+    event-time) ride along, `text` and the raw trigram are dropped."""
+    return (
+        df.filter(F.length("text") >= 3)
         .select(
-            "doc_id",
-            "lang",
+            "*",
             F.explode(
                 F.expr(
                     "transform(sequence(1, length(text) - 2),"
@@ -8502,7 +8504,17 @@ def q101_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
             % _LID_B,
         )
-        .select("doc_id", "lang", "bkt")
+        .drop("g", "text")
+    )
+
+
+def _lid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed-trigram Naive-Bayes profile table on the
+    doc_id%10<8 split: ≤ _LID_B rows of per-lang add-one ppm scores.
+    This is the MODEL a serve path broadcasts (streaming/classify.py);
+    batch q101 trains and evaluates it in one plan."""
+    tri = _lid_trigrams(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
     prof = (
         tri.filter(F.expr("doc_id % 10 < 8"))
@@ -8519,7 +8531,7 @@ def q101_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for lang in _LID_LANGS:
         prof = prof.withColumn(f"t_{lang}", F.sum(f"c_{lang}").over(wall))
-    prof = prof.select(
+    return prof.select(
         "bkt",
         *[
             F.expr(
@@ -8529,13 +8541,26 @@ def q101_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang in _LID_LANGS
         ],
     )
-    sc = (
+
+
+def _lid_scores(tri: DataFrame, prof: DataFrame, group_cols: list) -> DataFrame:
+    """Score trigram rows against the broadcast profile and fold to one
+    (s_de..s_zh) score row per group — group_cols is ["doc_id"] in batch
+    q101 and [window, doc_id, lang] in the streaming serve path."""
+    return (
         tri.join(F.broadcast(prof), "bkt")
-        .groupBy("doc_id")
-        .agg(
-            *[F.sum(f"p_{lang}").alias(f"s_{lang}") for lang in _LID_LANGS]
-        )
+        .groupBy(*group_cols)
+        .agg(*[F.sum(f"p_{lang}").alias(f"s_{lang}") for lang in _LID_LANGS])
     )
+
+
+def q101_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tri = _lid_trigrams(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "bkt"
+    )
+    prof = _lid_profiles(spark, sf_dir)
+    sc = _lid_scores(tri, prof, ["doc_id"])
     scored = (
         docs.select(
             "doc_id",
