@@ -9136,6 +9136,125 @@ GROUP BY split, lang
 )
 
 
+# --------------------------------------------------------------------------
+# q106 — IVF-PQ with exact re-ranking: the production two-stage
+# retrieval (FAISS's IVFPQ + refine). Stage 1 scores the q96 multi-probe
+# candidate set through the 4-byte PQ reconstruction (q102's ADC scan)
+# and keeps a SHORTLIST of the top _RERANK_M = 4·k per query; stage 2
+# re-ranks only the shortlist at FULL precision and emits top-k. The
+# recall ladder gains its final rung: exact re-rank of an ADC-shortlist
+# superset can only displace a ground-truth hit with another
+# ground-truth hit (any corpus vector exactly-scoring above a GT member
+# is itself GT), so recall(q106) ≥ recall(q102) — asserted measured in
+# the ladder test alongside q96's maximality.
+# Scale shape: q102's audit plan + ONE extra equi-join of the BOUNDED
+# shortlist (|queries|·4k rows) against the memoized index to fetch
+# full-precision vectors, then a per-query window over ≤ 4k rows. At
+# 100 TB this is the whole point of PQ: the ADC scan touches 4 B/vector
+# and only 4k full vectors per query are ever read back.
+# --------------------------------------------------------------------------
+
+_RERANK_M = 4 * _TOPK
+
+
+def q106_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _pq_store(spark, sf_dir)
+    q = _multiprobe_query_sample(spark, sf_dir).select(
+        "query_id",
+        "qiv",
+        F.expr(
+            "aggregate(zip_with(qiv, qiv, (x, y) -> x * y), 0L,"
+            " (acc, x) -> acc + x)"
+        ).alias("na"),
+        "qb",
+    )
+    adc_dot = F.expr(
+        "aggregate(zip_with(rv, qiv, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosd"), F.asc("vec_id")
+    )
+    shortlist = (
+        store.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", adc_dot)
+        .withColumn(
+            "cosd",
+            F.expr(
+                "cast(dot AS DOUBLE)"
+                " / sqrt(cast(na AS DOUBLE) * cast(nb AS DOUBLE))"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= _RERANK_M)
+        .select("query_id", "vec_id")
+    )
+    base = _ivf_assigned(spark, sf_dir).select("vec_id", "vn")
+    qfull = (
+        _ivf_assigned(spark, sf_dir)
+        .filter(F.pmod("vec_id", F.lit(50)) == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qn2"))
+    )
+    rr_dot = F.expr(
+        "aggregate(zip_with(vn, qn2, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    approx = (
+        shortlist.join(base, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("cos", rr_dot)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _ann_recall_hist(spark, sf_dir, approx)
+
+
+Q106_SQL = f"""
+WITH {_IVF_CTES},
+{_ivf_leaves_sql()},
+{_pq_sql_ctes()},
+q AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, a.v AS qv, e.qv AS qiv,
+         CAST(list_sum(list_transform(e.qv, x -> x * x)) AS BIGINT) AS na
+  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 50 = 0),
+mp AS MATERIALIZED (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, l.bucket,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_Q96_QDIST} ASC, l.bucket ASC) AS rk
+    FROM q, leaves l) WHERE rk <= {_NPROBE}),
+short AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosd DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT p.query_id, a.vec_id,
+             CAST({_Q97_DOT} AS DOUBLE)
+               / sqrt(CAST(q2.na AS DOUBLE) * CAST(r.nb AS DOUBLE)) AS cosd
+      FROM mp p
+      JOIN assigned a ON a.bucket = p.bucket
+      JOIN rnorm r ON r.vec_id = a.vec_id
+      JOIN q q2 ON q2.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id)
+  ) WHERE rank <= {_RERANK_M}),
+rr AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT s.query_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY list_cosine_similarity(a.v, q2.qv) DESC,
+                                       s.vec_id ASC) AS rank
+    FROM short s
+    JOIN assigned a ON a.vec_id = s.vec_id
+    JOIN q q2 ON q2.query_id = s.query_id) WHERE rank <= {_TOPK}),
+{_ann_audit_tail_sql("rr")}
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -9242,6 +9361,7 @@ QUERIES = {
     "q103_rate_anomaly": q103_rate_anomaly,
     "q104_dedup_weights": q104_dedup_weights,
     "q105_tokenizer_equity": q105_tokenizer_equity,
+    "q106_pq_rerank": q106_pq_rerank,
 }
 
 ORACLES = {
@@ -9350,4 +9470,5 @@ ORACLES = {
     "q103_rate_anomaly": Q103_SQL,
     "q104_dedup_weights": Q104_SQL,
     "q105_tokenizer_equity": Q105_SQL,
+    "q106_pq_rerank": Q106_SQL,
 }

@@ -128,6 +128,11 @@ _PINS = [
     # q104: cluster sizes + weights over the memoized LP label table
     # (graph nodes only), docs left join on doc_id + ONE lang rollup.
     ("q104_dedup_weights", 5, 0, False),
+    # q106: q102's audit frame + the refine stage, at the SAME exchange
+    # count — the bounded (|queries|·4k-row) shortlist joins ride
+    # broadcasts (memoized index on one side, tiny query table on the
+    # other); refine adds zero corpus-scale shuffles.
+    ("q106_pq_rerank", 8, 1, True),
     # q105: q85's encode shape with a LEFT join (OOV must survive), so the
     # cold initial plan can't build-left: SMJ on word (2 exchanges — the
     # intended 100-TB shape; AQE swaps in the vocab broadcast at runtime

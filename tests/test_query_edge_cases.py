@@ -687,6 +687,12 @@ def test_ann_recall_ladder(spark):
     assert r97 <= r96, (r97, r96)
     assert r102 <= r96, (r102, r96)
     assert r102 > 0, r102
+    # q106 exact-re-ranks the top-4k ADC shortlist: a GT hit can only be
+    # displaced by another GT hit (any vector exactly-scoring above a GT
+    # member is itself GT), so the refine rung never loses to raw ADC.
+    r106 = mean_recall("q106_pq_rerank")
+    assert r106 >= r102, (r102, r106)
+    assert r106 <= r96, (r106, r96)
 
 
 def test_q103_planted_spikes_and_boundaries(spark, tmp_path):
