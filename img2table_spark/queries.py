@@ -9255,6 +9255,191 @@ rr AS MATERIALIZED (
 """
 
 
+# --------------------------------------------------------------------------
+# q107 — the composed TRAINING-PREP pipeline (q74's curation capstone
+# applied to the training-layout end): quality filter (q71's verdicts)
+# → near-dup KEEPER on the survivors (q32's policy over the memoized
+# q16 clusters: max tokens wins, tie → min doc_id; survivors outside
+# any cluster pass) → BPE tokenize the kept docs (q85's full-corpus
+# vocab join) → deterministic epoch shuffle into shards (q70's
+# md5(seed‖doc_id) keying + within-shard (k, doc_id) order, pinned by
+# the Σ rank·doc_id order-SENSITIVE checksum) → contiguous 128-token
+# block spans across the shard-ordered stream (q67's offset
+# arithmetic; the cross-shard prefix sum runs over the bounded
+# ≤ _TP_SHARDS-row table). One row per shard + the corpus funnel
+# (n_total → n_quality → n_kept) carried via bounded 1-row-agg
+# crossJoins (the q73/q74 documented BNLJ class). The capstone proof
+# that the FILTER → DEDUP → TOKENIZE → SHUFFLE → PACK DAG composes
+# into one declarative plan, every stage its already-audited shape.
+# --------------------------------------------------------------------------
+
+_TP_SEED = "q107:"
+_TP_SHARDS = 16
+
+
+def q107_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    surv = (
+        q71_quality_filter(spark, sf_dir)
+        .filter("keep = 1")
+        .select("doc_id")
+        .join(ntok, "doc_id")
+        # 3 consumers: keeper rank, unclustered pass-through, funnel count
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = _lp_labels(spark, sf_dir)
+    labeled = surv.join(labels, surv["doc_id"] == labels["node"]).select(
+        "doc_id", "n", "label"
+    )
+    wk = Window.partitionBy("label").orderBy(F.desc("n"), F.asc("doc_id"))
+    kept_l = (
+        labeled.withColumn("rk", F.row_number().over(wk))
+        .filter("rk = 1")
+        .select("doc_id", "n")
+    )
+    kept_u = surv.join(
+        labels, surv["doc_id"] == labels["node"], "left_anti"
+    ).select("doc_id", "n")
+    kept = kept_l.unionByName(kept_u).persist(StorageLevel.MEMORY_AND_DISK)
+    fv = _bpe_chain(spark, sf_dir)[-1][0].select(
+        "word",
+        F.expr("size(split(repr, '  '))").cast("long").alias("n_syms"),
+    )
+    dw = docs.join(kept.select("doc_id"), "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    bpe = dw.join(fv, "word").groupBy("doc_id").agg(
+        F.sum("n_syms").alias("btoks")
+    )
+    keyed = bpe.withColumn(
+        "k",
+        F.md5(F.concat(F.lit(_TP_SEED), F.col("doc_id").cast("string"))),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % _TP_SHARDS,
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    pershard = ranked.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("btoks").cast("long").alias("bpe_toks"),
+        F.expr(
+            "CAST(sum(CAST(rnk AS DECIMAL(38,0)) * doc_id) AS LONG)"
+        ).alias("order_checksum"),
+    )
+    # cross-shard token offsets: a single-partition window over the
+    # bounded ≤ _TP_SHARDS-row table (q65's legal class)
+    wsh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = pershard.withColumn(
+        "tok_off", F.coalesce(F.sum("bpe_toks").over(wsh), F.lit(0))
+    )
+    funnel = (
+        docs.agg(F.count("*").cast("long").alias("n_total"))
+        .crossJoin(surv.agg(F.count("*").cast("long").alias("n_quality")))
+        .crossJoin(kept.agg(F.count("*").cast("long").alias("n_kept")))
+    )
+    return off.crossJoin(F.broadcast(funnel)).select(
+        "shard",
+        "n_docs",
+        "bpe_toks",
+        F.col("tok_off").cast("long").alias("tok_off"),
+        F.expr(f"CAST(tok_off div {_BLK_TOK} AS LONG)").alias("first_block"),
+        F.expr(
+            f"CAST((tok_off + bpe_toks - 1) div {_BLK_TOK} AS LONG)"
+        ).alias("last_block"),
+        "order_checksum",
+        "n_total",
+        "n_quality",
+        "n_kept",
+    )
+
+
+Q107_SQL = (
+    f"""
+WITH RECURSIVE {_Q16_CTES},
+sig AS (
+  SELECT doc_id, len(t) AS n,
+         list_sum(list_transform(t, x -> len(x))) AS chars,
+         len(list_filter(t, x -> x IN ('the', 'a'))) AS stop,
+         list_max(list_transform(list_distinct(t),
+                                 x -> len(list_filter(t, y -> y = x)))) AS ctop
+  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) z),
+surv AS MATERIALIZED (
+  SELECT doc_id, CAST(n AS BIGINT) AS n FROM sig
+  WHERE n BETWEEN 15 AND 80 AND 9 * n <= 2 * chars AND chars <= 5 * n
+    AND 50 * stop >= n AND 25 * ctop <= 3 * n),
+lab AS (
+  SELECT v.doc_id, v.n, c.label
+  FROM surv v LEFT JOIN comp c ON c.node = v.doc_id),
+kept AS MATERIALIZED (
+  SELECT doc_id, n FROM (
+    SELECT doc_id, n,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY n DESC, doc_id) AS rk
+    FROM lab WHERE label IS NOT NULL) WHERE rk = 1
+  UNION ALL
+  SELECT doc_id, n FROM lab WHERE label IS NULL),
+words AS (
+  SELECT tok AS word, COUNT(*) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) z
+  GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(str_split(word, ''), '  ') AS repr
+  FROM words),"""
+    + ",".join(_bpe_sql_level(i) for i in range(1, _BPE_STEPS + 1))
+    + f""",
+fv AS (
+  SELECT word, CAST(len(str_split(repr, '  ')) AS BIGINT) AS n_syms
+  FROM v{_BPE_STEPS}),
+dw AS (
+  SELECT d.doc_id, unnest(str_split(d.text, ' ')) AS word
+  FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
+bpe AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS btoks
+  FROM dw JOIN fv USING (word) GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, btoks,
+         md5('{_TP_SEED}' || CAST(doc_id AS VARCHAR)) AS k
+  FROM bpe),
+sharded AS (
+  SELECT doc_id, btoks, k,
+         ('0x' || substring(k, 1, 4))::BIGINT % {_TP_SHARDS} AS shard
+  FROM keyed),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rnk
+  FROM sharded),
+pershard AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(btoks) AS BIGINT) AS bpe_toks,
+         CAST(SUM(CAST(rnk AS HUGEINT) * doc_id) AS BIGINT)
+           AS order_checksum
+  FROM r2 GROUP BY shard),
+offt AS (
+  SELECT *, CAST(COALESCE(SUM(bpe_toks) OVER (ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_off
+  FROM pershard),
+funnel AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+         (SELECT COUNT(*) FROM surv) AS n_quality,
+         (SELECT COUNT(*) FROM kept) AS n_kept)
+SELECT o.shard, o.n_docs, o.bpe_toks, o.tok_off,
+       CAST(o.tok_off // {_BLK_TOK} AS BIGINT) AS first_block,
+       CAST((o.tok_off + o.bpe_toks - 1) // {_BLK_TOK} AS BIGINT)
+         AS last_block,
+       o.order_checksum,
+       CAST(f.n_total AS BIGINT) AS n_total,
+       CAST(f.n_quality AS BIGINT) AS n_quality,
+       CAST(f.n_kept AS BIGINT) AS n_kept
+FROM offt o, funnel f
+"""
+)
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -9362,6 +9547,7 @@ QUERIES = {
     "q104_dedup_weights": q104_dedup_weights,
     "q105_tokenizer_equity": q105_tokenizer_equity,
     "q106_pq_rerank": q106_pq_rerank,
+    "q107_training_prep": q107_training_prep,
 }
 
 ORACLES = {
@@ -9471,4 +9657,5 @@ ORACLES = {
     "q104_dedup_weights": Q104_SQL,
     "q105_tokenizer_equity": Q105_SQL,
     "q106_pq_rerank": Q106_SQL,
+    "q107_training_prep": Q107_SQL,
 }

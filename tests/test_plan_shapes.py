@@ -128,6 +128,12 @@ _PINS = [
     # q104: cluster sizes + weights over the memoized LP label table
     # (graph nodes only), docs left join on doc_id + ONE lang rollup.
     ("q104_dedup_weights", 5, 0, False),
+    # q107: the composed training-prep DAG — live work is the filter
+    # scan + keeper window + BPE-vocab tokenize join + shard window;
+    # the 4 single-partition exchanges are the bounded ≤16-row
+    # cross-shard offset window and the three 1-row funnel aggs, whose
+    # combines are the documented bounded-BNLJ class.
+    ("q107_training_prep", 8, 4, True),
     # q106: q102's audit frame + the refine stage, at the SAME exchange
     # count — the bounded (|queries|·4k-row) shortlist joins ride
     # broadcasts (memoized index on one side, tiny query table on the

@@ -817,3 +817,32 @@ def test_q105_oov_fallback_accounting(spark, tmp_path):
     assert ho["fertility_ppm"] == 9_000_000 // 4
     assert ho["oov_ppm"] == 1_000_000 // 4
     assert ho["chars_per_token_ppm"] == 13_000_000 // 9
+
+
+def test_q107_funnel_and_block_arithmetic(spark):
+    """The composed training-prep capstone conserves documents and packs
+    contiguously: shard doc counts sum to the funnel's n_kept, the
+    filter stage visibly fires, every shard's token offset equals the
+    sum of earlier shards' token masses, and block spans follow the
+    offset arithmetic."""
+    from img2table_spark.queries import _BLK_TOK, q107_training_prep
+
+    rows = sorted(
+        q107_training_prep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["shard"],
+    )
+    n_total, n_quality, n_kept = (
+        rows[0]["n_total"],
+        rows[0]["n_quality"],
+        rows[0]["n_kept"],
+    )
+    assert n_total > n_quality >= n_kept > 0
+    assert sum(r["n_docs"] for r in rows) == n_kept
+    off = 0
+    for r in rows:
+        assert r["tok_off"] == off, (r["shard"], r["tok_off"], off)
+        assert r["first_block"] == off // _BLK_TOK
+        assert r["last_block"] == (off + r["bpe_toks"] - 1) // _BLK_TOK
+        assert r["bpe_toks"] >= r["n_docs"]  # every kept doc >= 1 token
+        assert r["order_checksum"] > 0
+        off += r["bpe_toks"]
