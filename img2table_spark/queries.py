@@ -9440,6 +9440,130 @@ FROM offt o, funnel f
 )
 
 
+# --------------------------------------------------------------------------
+# q108 — token-distribution drift between corpus snapshots: the
+# monitoring op a data-versioned lake runs between training-set cuts —
+# "did this snapshot's language shift under me?". Snapshot B is q72's
+# deterministic derivation (doc_id%13==2 removed, %7==1 text-updated,
+# %17==3 re-added as new docs); both snapshots' token streams hash into
+# 256 buckets (q68's feature space) and each bucket reports both raw
+# counts, both shares in ppm, and |Δshare|; the headline is the total
+# variation distance TVD_ppm = Σ|share_a − share_b| div 2, carried on
+# every row (the fold runs over the bounded 256-row table). Log-free
+# integer arithmetic throughout (PSI/KL need ln — TVD is the
+# drift metric that stays engine-exact); 10⁶ products in
+# decimal(38,0)/HUGEINT per the overflow rule.
+# Scale shape: TWO map-side-combinable corpus aggs, each folding a
+# snapshot's token stream to ≤ 256 rows; the full-outer join, shares
+# and TVD fold all run on 256-row tables. At 100 TB the shuffle is
+# 2 × 256 rows per task — nothing else moves.
+# --------------------------------------------------------------------------
+
+_DRIFT_B = 256
+
+
+def q108_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b_txt = (
+        docs.filter("doc_id % 13 != 2")
+        .select(
+            F.expr(
+                "CASE WHEN doc_id % 7 = 1 THEN text || ' upd' ELSE text END"
+            ).alias("text")
+        )
+        .unionByName(
+            docs.filter("doc_id % 17 = 3").select(
+                F.expr("'new ' || text").alias("text")
+            )
+        )
+    )
+
+    def counts(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("tok"))
+            .withColumn(
+                "bkt",
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+                % _DRIFT_B,
+            )
+            .groupBy("bkt")
+            .agg(F.count("*").alias(col))
+        )
+
+    j = (
+        counts(docs.select("text"), "ca")
+        .join(counts(b_txt, "cb"), "bkt", "full")
+        .select(
+            "bkt",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = (
+        j.withColumn("ta", F.sum("ca").over(wall))
+        .withColumn("tb", F.sum("cb").over(wall))
+        .select(
+            "bkt",
+            "ca",
+            "cb",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * ca div ta AS LONG)"
+            ).alias("share_a_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * cb div tb AS LONG)"
+            ).alias("share_b_ppm"),
+        )
+        .withColumn(
+            "abs_delta_ppm",
+            F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")),
+        )
+    )
+    return shares.withColumn(
+        "tvd_ppm",
+        F.expr("CAST(sum(abs_delta_ppm) OVER () div 2 AS LONG)"),
+    )
+
+
+Q108_SQL = f"""
+WITH btxt AS (
+  SELECT CASE WHEN doc_id % 7 = 1 THEN text || ' upd' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 2
+  UNION ALL
+  SELECT 'new ' || text AS text FROM documents WHERE doc_id % 17 = 3),
+ca AS (
+  SELECT ('0x' || substr(md5(tok), 1, 4))::BIGINT % {_DRIFT_B} AS bkt,
+         COUNT(*) AS ca
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) z
+  GROUP BY 1),
+cb AS (
+  SELECT ('0x' || substr(md5(tok), 1, 4))::BIGINT % {_DRIFT_B} AS bkt,
+         COUNT(*) AS cb
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM btxt) z
+  GROUP BY 1),
+j AS (
+  SELECT COALESCE(ca.bkt, cb.bkt) AS bkt,
+         CAST(COALESCE(ca.ca, 0) AS BIGINT) AS ca,
+         CAST(COALESCE(cb.cb, 0) AS BIGINT) AS cb
+  FROM ca FULL OUTER JOIN cb ON cb.bkt = ca.bkt),
+sh AS (
+  SELECT bkt, ca, cb,
+         CAST(CAST(1000000 AS HUGEINT) * ca // (SUM(ca) OVER ()) AS BIGINT)
+           AS share_a_ppm,
+         CAST(CAST(1000000 AS HUGEINT) * cb // (SUM(cb) OVER ()) AS BIGINT)
+           AS share_b_ppm
+  FROM j),
+d AS (
+  SELECT *, abs(share_a_ppm - share_b_ppm) AS abs_delta_ppm FROM sh)
+SELECT bkt, ca, cb, share_a_ppm, share_b_ppm,
+       CAST(abs_delta_ppm AS BIGINT) AS abs_delta_ppm,
+       CAST(SUM(abs_delta_ppm) OVER () // 2 AS BIGINT) AS tvd_ppm
+FROM d
+"""
+
+
 QUERIES = {
     "q01_html_extract_cells": q01_html_extract_cells,
     "q02_word_filter": q02_word_filter,
@@ -9548,6 +9672,7 @@ QUERIES = {
     "q105_tokenizer_equity": q105_tokenizer_equity,
     "q106_pq_rerank": q106_pq_rerank,
     "q107_training_prep": q107_training_prep,
+    "q108_token_drift": q108_token_drift,
 }
 
 ORACLES = {
@@ -9658,4 +9783,5 @@ ORACLES = {
     "q105_tokenizer_equity": Q105_SQL,
     "q106_pq_rerank": Q106_SQL,
     "q107_training_prep": Q107_SQL,
+    "q108_token_drift": Q108_SQL,
 }

@@ -128,6 +128,10 @@ _PINS = [
     # q104: cluster sizes + weights over the memoized LP label table
     # (graph nodes only), docs left join on doc_id + ONE lang rollup.
     ("q104_dedup_weights", 5, 0, False),
+    # q108: TWO map-side-combinable corpus folds to ≤256 rows each (the
+    # full-outer join reuses their bkt hashing); the single-partition
+    # exchange is the TVD fold over the bounded 256-row table.
+    ("q108_token_drift", 3, 1, False),
     # q107: the composed training-prep DAG — live work is the filter
     # scan + keeper window + BPE-vocab tokenize join + shard window;
     # the 4 single-partition exchanges are the bounded ≤16-row
