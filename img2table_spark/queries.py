@@ -9462,6 +9462,22 @@ FROM offt o, funnel f
 _DRIFT_B = 256
 
 
+def _drift_buckets(df: DataFrame) -> DataFrame:
+    """Explode a (…, text) frame into one row per token with its hashed
+    drift bucket — shared by batch q108 and the streaming drift monitor
+    (streaming/drift.py); extra columns (the stream's event-time) ride
+    along, `text` and the raw token are dropped."""
+    return (
+        df.select("*", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn(
+            "bkt",
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+            % _DRIFT_B,
+        )
+        .drop("tok", "text")
+    )
+
+
 def q108_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     b_txt = (
@@ -9478,21 +9494,15 @@ def q108_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def counts(df: DataFrame, col: str) -> DataFrame:
-        return (
-            df.select(F.explode(F.split("text", " ")).alias("tok"))
-            .withColumn(
-                "bkt",
-                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-                % _DRIFT_B,
-            )
-            .groupBy("bkt")
-            .agg(F.count("*").alias(col))
-        )
-
     j = (
-        counts(docs.select("text"), "ca")
-        .join(counts(b_txt, "cb"), "bkt", "full")
+        _drift_buckets(docs.select("text"))
+        .groupBy("bkt")
+        .agg(F.count("*").alias("ca"))
+        .join(
+            _drift_buckets(b_txt).groupBy("bkt").agg(F.count("*").alias("cb")),
+            "bkt",
+            "full",
+        )
         .select(
             "bkt",
             F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
