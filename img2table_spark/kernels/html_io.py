@@ -44,6 +44,34 @@ def _group_spans(table: Table) -> list[CellSpan]:
 def table_to_html(table: Table) -> str:
     """Compact single-line HTML (reference: extraction.py:162-172 before
     prettify)."""
+    # Fast path: no two grid positions share a value-identity key → every
+    # span is a 1×1 rectangle at its own position, so the general grouping /
+    # rectangle decomposition / per-row sort below reduces to emitting the
+    # grid row-major. Identical output by construction (each group of size
+    # one yields CellSpan(r, r, c, c, value); sorting by col_left preserves
+    # column order). Merged cells (repeated keys) take the general path.
+    seen: set = set()
+    fast = True
+    for row in table.rows:
+        for cell in row:
+            k = (cell.x1, cell.y1, cell.x2, cell.y2, cell.content)
+            if k in seen:
+                fast = False
+                break
+            seen.add(k)
+        if not fast:
+            break
+    if fast:
+        parts = ["<table>"]
+        for row in table.rows:
+            parts.append("<tr>")
+            for cell in row:
+                val = cell.content
+                val = "" if val is None else val.replace("\n", "<br>")
+                parts.append(f'<td colspan="1" rowspan="1">{val}</td>')
+            parts.append("</tr>")
+        parts.append("</table>")
+        return "".join(parts)
     spans = _group_spans(table)
     rows_html = []
     for r in range(table.nb_rows):
@@ -109,46 +137,58 @@ class _TableParser(HTMLParser):
         self._rowspan = 1
 
     def handle_starttag(self, tag, attrs):
-        if tag == "table":
+        # tag-frequency order (td ≫ tr ≫ table) — this is the per-turn hot
+        # loop; semantics identical to the original table-first chain.
+        if self._depth == 1:
+            if tag == "td" or tag == "th":
+                cs = rs = 1
+                for k, v in attrs:
+                    if k == "colspan":
+                        cs = _span_val(v)
+                    elif k == "rowspan":
+                        rs = _span_val(v)
+                self._colspan = cs
+                self._rowspan = rs
+                self._cell_parts = []
+                return
+            if tag == "tr":
+                self._row = []
+                return
+            if tag == "br":
+                if self._cell_parts is not None:
+                    self._cell_parts.append(_BR)
+                return
+            if tag != "table":
+                return
+            self._depth = 2
+        elif tag == "table":
             self._depth += 1
             if self._depth == 1:
                 self._rows = []
-            return
-        if self._depth != 1:
-            return
-        if tag == "tr":
-            self._row = []
-        elif tag in ("td", "th"):
-            cs = rs = 1
-            for k, v in attrs:
-                if k == "colspan":
-                    cs = _span_val(v)
-                elif k == "rowspan":
-                    rs = _span_val(v)
-            self._colspan = cs
-            self._rowspan = rs
-            self._cell_parts = []
-        elif tag == "br" and self._cell_parts is not None:
-            self._cell_parts.append(_BR)
 
     def handle_endtag(self, tag):
+        if self._depth != 1:
+            if tag == "table":
+                self._depth = max(0, self._depth - 1)
+            return
+        if tag == "td" or tag == "th":
+            if self._cell_parts is not None:
+                value = _assemble_value(self._cell_parts)
+                if self._row is None:
+                    self._row = []
+                self._row.append((value, self._colspan, self._rowspan))
+                self._cell_parts = None
+            return
+        if tag == "tr":
+            if self._row is not None:
+                self._rows.append(self._row)
+                self._row = None
+            return
         if tag == "table":
-            if self._depth == 1 and self._rows is not None:
+            if self._rows is not None:
                 self.tables.append(self._rows)
                 self._rows = None
-            self._depth = max(0, self._depth - 1)
-            return
-        if self._depth != 1:
-            return
-        if tag in ("td", "th") and self._cell_parts is not None:
-            value = _assemble_value(self._cell_parts)
-            if self._row is None:
-                self._row = []
-            self._row.append((value, self._colspan, self._rowspan))
-            self._cell_parts = None
-        elif tag == "tr" and self._row is not None:
-            self._rows.append(self._row)
-            self._row = None
+            self._depth = 0
 
     def handle_data(self, data):
         if self._depth == 1 and self._cell_parts is not None:
@@ -204,46 +244,117 @@ class _FastFallback(Exception):
 
 
 def _feed_fast(parser: "_TableParser", html: str) -> None:
+    """One regex pass with the _TableParser state machine INLINED into local
+    variables — the per-tag handler method dispatch was the dominant
+    remaining cost of the UDF hot path. Semantics are identical to driving
+    parser.handle_* per match: same fallback triggers, same state
+    transitions, same completed tables. Results land in parser.tables only
+    at the very end, so an aborted pass leaves the caller's fresh-parser
+    replay untouched (data outside an open cell is discarded unexamined,
+    exactly as handle_data would)."""
+    tables: list = []
+    depth = 0
+    rows = row = cell_parts = None
+    colspan = rowspan = 1
     pos = 0
-    handle_data = parser.handle_data
-    handle_start = parser.handle_starttag
-    handle_end = parser.handle_endtag
     for m in _FAST_TAG_RE.finditer(html):
-        if m.start() > pos:
-            data = html[pos : m.start()]
+        start = m.start()
+        if start > pos:
+            data = html[pos:start]
             if "<" in data and _UNMATCHED_LT_RE.search(data):
                 raise _FastFallback
-            if "&" in data:
-                data = unescape(data)
-            handle_data(data)
+            if cell_parts is not None and depth == 1:
+                if "&" in data:
+                    data = unescape(data)
+                cell_parts.append(data)
+        pos = m.end()
         closing, name, attrtext, selfclose = m.groups()
         name = name.lower()
-        if name in ("script", "style"):
+        if name == "script" or name == "style":
             # HTMLParser switches to CDATA mode here (raw content up to the
             # matching end tag); the regex scanner cannot
             raise _FastFallback
         if closing:
-            handle_end(name)
-        else:
-            attrs = []
-            if attrtext and name in ("td", "th"):  # only cells carry attrs we read
-                for am in _ATTR_RE.finditer(attrtext):
-                    v = am.group(2)
-                    if v is not None:
-                        if v[0] in "\"'":
-                            v = v[1:-1]
-                        if "&" in v:
-                            v = unescape(v)
-                    attrs.append((am.group(1).lower(), v))
-            handle_start(name, attrs)
-            if selfclose:
-                handle_end(name)
-        pos = m.end()
+            if depth != 1:
+                if name == "table" and depth > 0:
+                    depth -= 1
+            elif name == "td" or name == "th":
+                if cell_parts is not None:
+                    value = _assemble_value(cell_parts)
+                    if row is None:
+                        row = []
+                    row.append((value, colspan, rowspan))
+                    cell_parts = None
+            elif name == "tr":
+                if row is not None:
+                    rows.append(row)
+                    row = None
+            elif name == "table":
+                if rows is not None:
+                    tables.append(rows)
+                    rows = None
+                depth = 0
+            continue
+        # start tag
+        if depth == 1:
+            if name == "td" or name == "th":
+                cs = rs = 1
+                if attrtext:
+                    for am in _ATTR_RE.finditer(attrtext):
+                        k = am.group(1).lower()
+                        if k == "colspan" or k == "rowspan":
+                            v = am.group(2)
+                            if v is not None:
+                                if v[0] in "\"'":
+                                    v = v[1:-1]
+                                if "&" in v:
+                                    v = unescape(v)
+                            if k == "colspan":
+                                cs = _span_val(v)
+                            else:
+                                rs = _span_val(v)
+                colspan = cs
+                rowspan = rs
+                cell_parts = []
+            elif name == "tr":
+                row = []
+            elif name == "br":
+                if cell_parts is not None:
+                    cell_parts.append(_BR)
+            elif name == "table":
+                depth = 2
+        elif name == "table":
+            depth += 1
+            if depth == 1:
+                rows = []
+        if selfclose and (
+            name == "td" or name == "th" or name == "tr" or name == "table"
+        ):
+            # replay the end-tag transition for self-closed structural tags
+            if depth != 1:
+                if name == "table" and depth > 0:
+                    depth -= 1
+            elif name == "td" or name == "th":
+                if cell_parts is not None:
+                    value = _assemble_value(cell_parts)
+                    if row is None:
+                        row = []
+                    row.append((value, colspan, rowspan))
+                    cell_parts = None
+            elif name == "tr":
+                if row is not None:
+                    rows.append(row)
+                    row = None
+            elif name == "table":
+                if rows is not None:
+                    tables.append(rows)
+                    rows = None
+                depth = 0
     if pos < len(html):
         data = html[pos:]
         if "<" in data and _UNMATCHED_LT_RE.search(data):
             raise _FastFallback
-        handle_data(data)
+    parser.tables.extend(tables)
 
 
 def parse_html_tables(html: str) -> list[Table]:
@@ -270,6 +381,33 @@ def parse_html_tables(html: str) -> list[Table]:
     out: list[Table] = []
     for raw_rows in parser.tables:
         if not raw_rows:
+            continue
+        # Fast path: every cell is 1×1 (no colspan/rowspan) — the occupied/
+        # pending bookkeeping below degenerates to "cell c of raw row r sits
+        # at grid (r, c)". Replicates the general path exactly: trailing
+        # all-empty raw rows are dropped (they contribute no occupied
+        # position), interior empty rows become filler rows, short rows are
+        # right-padded with None-content filler cells.
+        if all(cs == 1 and rs == 1 for raw_row in raw_rows for (_v, cs, rs) in raw_row):
+            n_rows = len(raw_rows)
+            while n_rows and not raw_rows[n_rows - 1]:
+                n_rows -= 1
+            if n_rows == 0:
+                continue
+            n_cols = max(len(raw_row) for raw_row in raw_rows[:n_rows])
+            rows = []
+            for r in range(n_rows):
+                raw_row = raw_rows[r]
+                y1 = r * HTML_ROW_H
+                y2 = y1 + HTML_ROW_H
+                row = [
+                    Cell(c * HTML_COL_W, y1, (c + 1) * HTML_COL_W, y2, content=v)
+                    for c, (v, _cs, _rs) in enumerate(raw_row)
+                ]
+                for c in range(len(raw_row), n_cols):
+                    row.append(Cell(c * HTML_COL_W, y1, (c + 1) * HTML_COL_W, y2, None))
+                rows.append(row)
+            out.append(Table(rows=rows))
             continue
         occupied: dict[tuple[int, int], Cell] = {}
         pending: dict[Cell, tuple[int, int, int, int]] = {}  # cell -> (r1, c1, r2, c2)

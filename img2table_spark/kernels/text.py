@@ -182,24 +182,40 @@ def is_relevant_table(table: Table) -> bool:
 
 def table_to_record(table: Table) -> dict:
     """Serialize a Table to the engine output row (FIXTURES.md §2)."""
-    cells = [
-        {
-            "row": r,
-            "col": c,
-            "x1": cell.x1,
-            "y1": cell.y1,
-            "x2": cell.x2,
-            "y2": cell.y2,
-            "value": cell.content,
-        }
-        for r, row in enumerate(table.rows)
-        for c, cell in enumerate(row)
-    ]
+    cells = []
+    x1 = y1 = x2 = y2 = None
+    for r, row in enumerate(table.rows):
+        for c, cell in enumerate(row):
+            cx1, cy1, cx2, cy2 = cell.x1, cell.y1, cell.x2, cell.y2
+            cells.append(
+                {
+                    "row": r,
+                    "col": c,
+                    "x1": cx1,
+                    "y1": cy1,
+                    "x2": cx2,
+                    "y2": cy2,
+                    "value": cell.content,
+                }
+            )
+            if x1 is None:
+                x1, y1, x2, y2 = cx1, cy1, cx2, cy2
+            else:
+                if cx1 < x1:
+                    x1 = cx1
+                if cy1 < y1:
+                    y1 = cy1
+                if cx2 > x2:
+                    x2 = cx2
+                if cy2 > y2:
+                    y2 = cy2
+    if table.rows and not cells:  # rows of zero width: match min()'s error
+        raise ValueError("min() arg is an empty sequence")
     return {
-        "x1": table.x1 if table.rows else None,
-        "y1": table.y1 if table.rows else None,
-        "x2": table.x2 if table.rows else None,
-        "y2": table.y2 if table.rows else None,
+        "x1": x1,
+        "y1": y1,
+        "x2": x2,
+        "y2": y2,
         "title": table.title,
         "cells": cells,
         "n_rows": table.nb_rows,

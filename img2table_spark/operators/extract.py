@@ -61,8 +61,13 @@ def _make_batch_extract(emit_errors: bool = False):
         cols = EXTRACTED_SCHEMA.fieldNames()
         for pdf in batches:
             rows: list[dict] = []
+            # .tolist() once per batch: plain-python iteration is measurably
+            # cheaper than pandas Series iteration in this hot loop.
             for conv_id, turn_idx, text, tool in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+                pdf["conv_id"].tolist(),
+                pdf["turn_idx"].tolist(),
+                pdf["text"].tolist(),
+                pdf["tool"].tolist(),
             ):
                 try:
                     tables = [t for t in extract_payload(text, tool) if is_relevant_table(t)]
