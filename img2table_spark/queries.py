@@ -292,6 +292,34 @@ _MH_AB = [
     (777001266899, 90909091), (318199955057, 21092393),
 ]
 _MH_BASE_SPARK = "cast(conv(substring(md5(s), 1, 15), 16, 10) as decimal(20,0))"
+# Long-only variant of the affine family (r6 optimization): BigDecimal
+# multiply/pmod was ~3x the cost of the whole minhash aggregation, and the
+# md5+conv base was re-derived per hash. The identity used, with
+# P = 2^61 - 1 (so 2^61 ≡ 1 (mod P)) and every intermediate provably
+# < 2^63 under Spark 4's ANSI overflow checks:
+#   base = bh·2^30 + bl  (base < 2^60),  A = ah·2^20 + al  (A < 2^40)
+#   A·base = ah·bh·2^50 + ah·bl·2^20 + al·bh·2^30 + al·bl   (products < 2^50)
+#   x·2^k mod P folds as (x >> (61-k)) + ((x & (2^(61-k)-1)) << k) < 2^61+2^50
+# Sum of the folded terms + B < 2^62.8, one pmod finishes. Equality with the
+# decimal path (and so with the DuckDB HUGEINT oracles) is pinned by
+# tests/test_minhash_long.py over the corpus and adversarial 60-bit bases.
+_MH_BASE_LONG = "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+
+
+def _mh_affine_long(a: int, b: int, base_col: str = "mhb") -> str:
+    ah, al = a >> 20, a & ((1 << 20) - 1)
+    bh = f"shiftright({base_col}, 30)"
+    bl = f"({base_col} & 1073741823)"
+    t_hh = f"({ah}L * {bh})"   # < 2^50, scaled by 2^50
+    t_hl = f"({ah}L * {bl})"   # < 2^50, scaled by 2^20
+    t_lh = f"({al}L * {bh})"   # < 2^50, scaled by 2^30
+    t_ll = f"({al}L * {bl})"   # < 2^40, scaled by 1
+    return (
+        f"pmod((shiftright({t_hh}, 11) + shiftleft({t_hh} & 2047, 50))"
+        f" + (shiftright({t_hl}, 41) + shiftleft({t_hl} & 2199023255551, 20))"
+        f" + (shiftright({t_lh}, 31) + shiftleft({t_lh} & 2147483647, 30))"
+        f" + {t_ll} + {b}L, {_MH_P}L)"
+    )
 _MH_SQL_MINS = ",\n         ".join(
     f"MIN(CAST((CAST({a} AS HUGEINT) * base + {b}) % {_MH_P} AS BIGINT)) AS m{k}"
     for k, (a, b) in enumerate(_MH_AB)
@@ -320,16 +348,16 @@ bands AS MATERIALIZED (
 
 
 def _minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) LSH band keys via the affine family above."""
+    """(doc_id, band, sig) LSH band keys via the affine family above —
+    md5 base derived ONCE per shingle, then 8 long-only mulmods (see
+    _mh_affine_long; bit-equal to the decimal path by the pinned test)."""
     hs = [
-        F.expr(
-            f"cast(pmod(cast({a} as decimal(38,0)) * {_MH_BASE_SPARK} + {b}, "
-            f"{_MH_P}) as bigint)"
-        ).alias(f"h{k}")
+        F.expr(_mh_affine_long(a, b)).alias(f"h{k}")
         for k, (a, b) in enumerate(_MH_AB)
     ]
     mins = (
-        sh.select("doc_id", *hs)
+        sh.select("doc_id", F.expr(_MH_BASE_LONG).alias("mhb"))
+        .select("doc_id", *hs)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{k}").alias(f"m{k}") for k in range(_N_HASHES)])
     )
