@@ -114,10 +114,12 @@ def _sep_filter(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
     idx = _reflect101_idx(n, r)
     padded = np.take(a, idx, axis=axis)
     out = np.zeros_like(a, dtype=np.float64)
+    tmp = np.empty_like(out)  # same float64 op order, no per-tap temporary
+    sl = [slice(None)] * a.ndim
     for i, w in enumerate(kernel):
-        sl = [slice(None)] * a.ndim
         sl[axis] = slice(i, i + n)
-        out += w * padded[tuple(sl)]
+        np.multiply(padded[tuple(sl)], w, out=tmp)
+        out += tmp
     return out
 
 
@@ -184,13 +186,19 @@ def _binary_window_1d(a: np.ndarray, lo: int, hi: int, axis: int, dilate: bool) 
     # several times slower than the copy it avoids
     m = np.ascontiguousarray(np.moveaxis(a, axis, -1))
     n = m.shape[-1]
-    on = np.empty(m.shape[:-1] + (n + pad_before + pad_after + 1,), dtype=np.int32)
+    # counts are bounded by the padded axis length, so int16 is exact for
+    # any axis < 32k pixels (every page this engine renders); the narrower
+    # accumulator halves the memory traffic of the cumsum + diff below.
+    total = n + pad_before + pad_after
+    dt = np.int16 if total < 32767 else np.int32
+    on = np.empty(m.shape[:-1] + (total + 1,), dtype=dt)
     on[..., 0] = 0
     fill = 0 if dilate else 1  # erode pads 'set' so borders don't erode
     on[..., 1 : 1 + pad_before] = fill
     on[..., 1 + pad_before : 1 + pad_before + n] = m != 0
     on[..., 1 + pad_before + n :] = fill
-    cs = np.cumsum(on, axis=-1)
+    # dtype= matters: without it numpy widens integer cumsums to int64
+    cs = np.cumsum(on, axis=-1, dtype=dt)
     start = lo + pad_before  # window for i: [i+start, i+start+k-1]
     wsum = cs[..., start + k : start + k + n] - cs[..., start : start + n]
     out = (255 * ((wsum > 0) if dilate else (wsum == k))).astype(np.uint8)
@@ -265,7 +273,11 @@ def connected_components_with_stats(binary: np.ndarray) -> tuple[int, np.ndarray
     run_s = starts_c
     run_e = ends_c
 
-    parent = np.arange(n_runs, dtype=np.int64)
+    # plain python lists in the union-find loops: numpy scalar indexing is
+    # several times slower than list indexing at this call density
+    parent = list(range(n_runs))
+    rs_l = run_s.tolist()
+    re_l = run_e.tolist()
 
     def find(i):
         while parent[i] != i:
@@ -274,8 +286,8 @@ def connected_components_with_stats(binary: np.ndarray) -> tuple[int, np.ndarray
         return i
 
     # row boundaries in the run arrays
-    row_first = np.searchsorted(run_row, np.arange(H), side="left")
-    row_last = np.searchsorted(run_row, np.arange(H), side="right")
+    row_first = np.searchsorted(run_row, np.arange(H), side="left").tolist()
+    row_last = np.searchsorted(run_row, np.arange(H), side="right").tolist()
 
     for r in range(1, H):
         i0, i1 = row_first[r], row_last[r]
@@ -284,11 +296,11 @@ def connected_components_with_stats(binary: np.ndarray) -> tuple[int, np.ndarray
             continue
         j = j0
         for i in range(i0, i1):
-            s, e = run_s[i] - 1, run_e[i] + 1  # 8-connectivity widening
-            while j < j1 and run_e[j] <= s:
+            s, e = rs_l[i] - 1, re_l[i] + 1  # 8-connectivity widening
+            while j < j1 and re_l[j] <= s:
                 j += 1
             jj = j
-            while jj < j1 and run_s[jj] < e:
+            while jj < j1 and rs_l[jj] < e:
                 ra, rb = find(i), find(jj)
                 if ra != rb:
                     parent[rb] = ra
@@ -297,37 +309,37 @@ def connected_components_with_stats(binary: np.ndarray) -> tuple[int, np.ndarray
                 j -= 1  # step back: next run may overlap same upper run
 
     # root per run → component ids in raster order of first run
-    roots = np.array([find(i) for i in range(n_runs)])
     comp_ids = {}
     run_comp = np.zeros(n_runs, dtype=np.int32)
+    rc_l = run_comp.tolist()
     for i in range(n_runs):
-        rt = roots[i]
-        if rt not in comp_ids:
-            comp_ids[rt] = len(comp_ids) + 1
-        run_comp[i] = comp_ids[rt]
+        rt = find(i)
+        c = comp_ids.get(rt)
+        if c is None:
+            c = len(comp_ids) + 1
+            comp_ids[rt] = c
+        rc_l[i] = c
+    run_comp = np.asarray(rc_l, dtype=np.int32)
 
     n_comp = len(comp_ids)
     stats = np.zeros((n_comp + 1, 5), dtype=np.int64)
-    stats[:, 0] = W + 1  # x min
-    stats[:, 1] = H + 1  # y min
+    # per-run label paint needs the slice loop; per-component extremes fold
+    # vectorized (same min/max/area values as the old per-run updates)
+    rr_l = run_row.tolist()
+    for i in range(n_runs):
+        labels[rr_l[i], rs_l[i] : re_l[i]] = rc_l[i]
+    xmin = np.full(n_comp + 1, W + 1, dtype=np.int64)
+    ymin = np.full(n_comp + 1, H + 1, dtype=np.int64)
     x2 = np.zeros(n_comp + 1, dtype=np.int64)
     y2 = np.zeros(n_comp + 1, dtype=np.int64)
-
-    for i in range(n_runs):
-        c = run_comp[i]
-        r = run_row[i]
-        s, e = run_s[i], run_e[i]
-        labels[r, s:e] = c
-        if s < stats[c, 0]:
-            stats[c, 0] = s
-        if r < stats[c, 1]:
-            stats[c, 1] = r
-        if e > x2[c]:
-            x2[c] = e
-        if r + 1 > y2[c]:
-            y2[c] = r + 1
-        stats[c, 4] += e - s
-
+    np.minimum.at(xmin, run_comp, run_s)
+    np.minimum.at(ymin, run_comp, run_row)
+    np.maximum.at(x2, run_comp, run_e)
+    np.maximum.at(y2, run_comp, run_row + 1)
+    areas = np.bincount(run_comp, weights=(run_e - run_s), minlength=n_comp + 1)
+    stats[:, 0] = xmin
+    stats[:, 1] = ymin
+    stats[:, 4] = areas.astype(np.int64)
     stats[1:, 2] = x2[1:] - stats[1:, 0]
     stats[1:, 3] = y2[1:] - stats[1:, 1]
     # background stats (cv2 convention: bbox = full image, area = bg pixels)
@@ -351,7 +363,6 @@ def bilateral_filter3(img: np.ndarray, sigma_color: float = 40.0, sigma_space: f
     iy = _reflect101_idx(H, 1)
     ix = _reflect101_idx(W, 1)
     p8 = img[iy][:, ix]  # (H+2, W+2, 3)
-    p = p8.astype(np.float32)
     p16 = p8.astype(np.int16)
 
     # L1 color distances are integers in [0, 765], so the per-pixel
@@ -360,16 +371,28 @@ def bilateral_filter3(img: np.ndarray, sigma_color: float = 40.0, sigma_space: f
     dr = np.arange(766, dtype=np.float32)
     lut_side = (sw_side * np.exp(gc * dr * dr)).astype(np.float32)
 
-    center = p[1 : H + 1, 1 : W + 1]
     c16 = p16[1 : H + 1, 1 : W + 1]
-    num = center.copy()  # center offset: d=0 → weight exactly 1
+    # center offset: d=0 → weight exactly 1 (uint8 → f32 is exact)
+    num = p8[1 : H + 1, 1 : W + 1].astype(np.float32)
     den = np.ones((H, W), dtype=np.float32)
+    # scratch buffers: the same f32/int ops as the naive chain, but per
+    # channel with explicit out= targets and the uint8 page as the multiply
+    # operand — no (H+2, W+2, 3) float copy and no (H, W, 3) temporaries.
+    t16 = np.empty((H, W), dtype=np.int16)
+    d = np.empty((H, W), dtype=np.int32)
+    t32 = np.empty((H, W), dtype=np.float32)
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        nb = p[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+        nb8 = p8[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
         nb16 = p16[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
-        d = np.abs(nb16 - c16).sum(axis=2, dtype=np.int32)
+        d[:] = 0
+        for ch in range(3):
+            np.subtract(nb16[:, :, ch], c16[:, :, ch], out=t16)
+            np.abs(t16, out=t16)
+            d += t16
         w = lut_side[d]
-        num += w[:, :, None] * nb
+        for ch in range(3):
+            np.multiply(w, nb8[:, :, ch], out=t32)
+            num[:, :, ch] += t32
         den += w
     out = num / den[:, :, None]
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)

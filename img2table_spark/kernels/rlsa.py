@@ -45,50 +45,78 @@ def remove_noise(cc: np.ndarray, cc_stats: np.ndarray, average_height: float, me
 def adaptive_rlsa(cc: np.ndarray, cc_stats: np.ndarray, a: float, th: float, c: float) -> np.ndarray:
     """(reference: rlsa.py:54-114) — per row, bridge gaps between consecutive
     CC pixels when length/height/overlap conditions hold and no third CC
-    lies in the ±2-row gap window."""
-    rlsa_img = (cc > 0).astype(np.uint8)
+    lies in the ±2-row gap window.
+
+    Vectorized pair formulation (r6): a gap is a pair of consecutive nonzero
+    pixels in one row, and its fill decision reads only cc/cc_stats — never
+    rlsa_img — so every pair is independent and the reference's sequential
+    walk computes exactly the union of per-pair fills. The length/height/
+    overlap arithmetic runs as float64 array ops (identical IEEE results to
+    the scalar chain); only pairs passing it take the per-gap window
+    membership test. Fill ranges apply via a bincount delta + cumsum.
+    Bit-equality is pinned by the RLSA BMP golden and the differential test
+    in tests/test_rlsa_vectorized.py."""
+    base = (cc > 0).astype(np.uint8)
     H, W = cc.shape
-    # python tuples once, not a numpy row slice + int() per gap (~55k gaps)
-    stats = [tuple(int(v) for v in row[:4]) for row in cc_stats]
+    rs, cs_ = np.nonzero(cc)
+    if len(rs) < 2:
+        return base
+    labs = cc[rs, cs_]
+    same_row = rs[1:] == rs[:-1]
+    lp = labs[:-1]
+    lc = labs[1:]
+    valid = same_row & (lp != -1) & (lc != -1)
+    same = valid & (lc == lp)
+    fill_rows = [rs[1:][same]]
+    fill_start = [cs_[:-1][same]]
+    fill_end = [cs_[1:][same]]
 
-    for row in range(H):
-        cols = np.nonzero(cc[row])[0]
-        if len(cols) == 0:
-            continue
-        row_labels = cc[row, cols]
-        prev_pos, prev_label = -1, -1
-        for col, label in zip(cols.tolist(), row_labels.tolist()):
-            if prev_label == -1 or label == -1:
-                prev_pos, prev_label = col, label
-                continue
-            if label == prev_label:
-                rlsa_img[row, prev_pos:col] = 1
-            else:
-                x1_cc, y1_cc, width_cc, height_cc = stats[label]
-                x1_p, y1_p, width_p, height_p = stats[prev_label]
-                length = col - prev_pos - 1
-                height_ratio = max(height_cc, height_p) / max(min(height_cc, height_p), 1)
-                h_overlap = min(y1_cc + height_cc, y1_p + height_p) - max(y1_cc, y1_p)
-
-                window = cc[max(0, row - 2) : min(row + 3, H), prev_pos + 1 : col]
+    diff = np.nonzero(valid & (lc != lp))[0]
+    if len(diff):
+        pl = lp[diff]
+        cl = lc[diff]
+        row_d = rs[1:][diff]
+        p_pos = cs_[:-1][diff]
+        c_pos = cs_[1:][diff]
+        y1 = cc_stats[:, 1].astype(np.int64)
+        hh = cc_stats[:, 3].astype(np.int64)
+        hc = hh[cl]
+        hp = hh[pl]
+        mn = np.minimum(hc, hp)
+        length = c_pos - p_pos - 1
+        ratio = np.maximum(hc, hp) / np.maximum(mn, 1)
+        overlap = np.minimum(y1[cl] + hc, y1[pl] + hp) - np.maximum(y1[cl], y1[pl])
+        ok = (length <= a * mn) & (ratio <= th) & (overlap >= c * mn)
+        cand = np.nonzero(ok)[0]
+        if len(cand):
+            keep_r: list = []
+            keep_s: list = []
+            keep_e: list = []
+            for r0, p0, c0, l0, q0 in zip(
+                row_d[cand].tolist(), p_pos[cand].tolist(), c_pos[cand].tolist(),
+                cl[cand].tolist(), pl[cand].tolist(),
+            ):
+                window = cc[max(0, r0 - 2) : min(r0 + 3, H), p0 + 1 : c0]
                 # membership test unrolled: np.isin costs ~70µs/call in sort
-                # setup on these tiny windows (55k calls per page)
-                no_other = not (
-                    (window != -1)
-                    & (window != 0)
-                    & (window != label)
-                    & (window != prev_label)
-                ).any()
+                # setup on these tiny windows
+                if not (
+                    (window != -1) & (window != 0) & (window != l0) & (window != q0)
+                ).any():
+                    keep_r.append(r0)
+                    keep_s.append(p0)
+                    keep_e.append(c0)
+            if keep_r:
+                fill_rows.append(np.asarray(keep_r, dtype=np.int64))
+                fill_start.append(np.asarray(keep_s, dtype=np.int64))
+                fill_end.append(np.asarray(keep_e, dtype=np.int64))
 
-                if (
-                    length <= a * min(height_cc, height_p)
-                    and height_ratio <= th
-                    and h_overlap >= c * min(height_cc, height_p)
-                    and no_other
-                ):
-                    rlsa_img[row, prev_pos:col] = 1
-            prev_pos, prev_label = col, label
-    return rlsa_img
+    starts = np.concatenate(fill_rows) * W + np.concatenate(fill_start)
+    ends = np.concatenate(fill_rows) * W + np.concatenate(fill_end)
+    if len(starts) == 0:
+        return base
+    delta = np.bincount(starts, minlength=H * W) - np.bincount(ends, minlength=H * W)
+    covered = np.cumsum(delta[: H * W]).reshape(H, W) > 0
+    return base | covered.astype(np.uint8)
 
 
 def find_obstacles(img: np.ndarray, min_width: float) -> np.ndarray:
