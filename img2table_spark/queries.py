@@ -8783,7 +8783,7 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PQ_MEMO.get(key)
     if hit is not None:
-        return hit[0]
+        return hit
 
     emb = (
         _quantized_emb(spark, sf_dir)
@@ -8842,6 +8842,10 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         cents = nxt
 
+    # the training-side projection is dead once the codebooks are final —
+    # release it instead of pinning it for the session (ADVICE r5)
+    emb.unpersist()
+
     bcf = spark.sparkContext.broadcast(cents)
 
     @F.pandas_udf("array<long>")
@@ -8877,7 +8881,9 @@ def _pq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "bucket", "rv", "nb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _memo_put(_PQ_MEMO, key, [store], spark)
+    # memoize the DataFrame itself: _memo_put's eviction unpersists a bare
+    # DataFrame value, while a flat [store] list defeated it (ADVICE r5)
+    _memo_put(_PQ_MEMO, key, store, spark)
     return store
 
 

@@ -115,8 +115,11 @@ def tvd_from_bins(bins: DataFrame, reference: DataFrame) -> DataFrame:
                 " div greatest(tw, 1) AS LONG)"
             ).alias("sw"),
             F.expr(
+                # greatest(tr, 1): a degenerate empty reference yields 0
+                # shares instead of a divide-by-zero NULL, symmetric with
+                # the sw arm (ADVICE r5)
                 "CAST(CAST(1000000 AS DECIMAL(38,0)) * cref"
-                " div tr AS LONG)"
+                " div greatest(tr, 1) AS LONG)"
             ).alias("sr"),
             "cnt",
         )
