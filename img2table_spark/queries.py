@@ -28,8 +28,21 @@ from img2table_spark.operators.extract import extract_cells_flat
 from img2table_spark.sources.transcripts import transcripts_from_documents
 
 
+_T_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    """Source-table reader with a per-(session, dir, table) PLAN memo: a
+    DataFrame is an immutable logical-plan handle, so reusing it skips the
+    driver-side file listing + parquet footer schema read every consumer
+    repaid per call. Nothing is persisted — every execution still scans
+    the parquet input."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _T_MEMO.get(key)
+    if hit is None:
+        hit = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        _T_MEMO[key] = hit
+    return hit
 
 
 # --------------------------------------------------------------------------
@@ -1418,20 +1431,35 @@ FROM comp GROUP BY label
 _DF_CAP = 100
 
 
-def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SHC_MEMO: dict = {}
+
+
+def _capped_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted + memoized DF-capped (doc_id, s) shingle table — the
+    exact-Jaccard reference's base artifact, built once per (session,
+    sf_dir) like the band index. Consumers: q17 (sizes + both self-join
+    arms) and q73's exact-reference arm, which re-runs the q17 chain —
+    without the memo the explode + DF-cap window ran once per consumer.
+    At cluster scale this table is written once per corpus build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SHC_MEMO.get(key)
+    if hit is not None:
+        return hit
     raw = _shingles(spark, sf_dir, cluster_by_s=True)
     # DF-cap via window on the shingle key: one shuffle on s covers both the
     # document-frequency count and the rare-filter (no groupBy+self-join).
-    sh = (
+    out = (
         raw.withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .filter(F.col("df") <= _DF_CAP)
         .select("doc_id", "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # The capped shingle table feeds three consumers (sizes, both sides of the
-    # self-join). Persist it so the explode+window runs once — at corpus scale
-    # this is the difference between one scan of documents and three
-    # (MEMORY_AND_DISK: spills instead of recomputing when executors are full).
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _memo_put(_SHC_MEMO, key, out, spark)
+    return out
+
+
+def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _capped_shingles_table(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -3881,12 +3909,13 @@ def _cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_bucket_cols(col: str = "tok") -> list:
-    base = f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as decimal(20,0))"
+    # long-only affine chain (see _mh_affine_long): same values as the old
+    # decimal(38,0) multiply/pmod — pmod lands in [0, P) so the % _CMS_W
+    # bucket is unchanged; codegen subexpression elimination shares the one
+    # md5 base across the 4 rows within the enclosing Project.
+    base = f"(cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint))"
     return [
-        F.expr(
-            f"cast(pmod(cast({a} as decimal(38,0)) * {base} + {b}, {_MH_P}) "
-            f"as bigint) % {_CMS_W}"
-        ).alias(f"b{r}")
+        F.expr(f"{_mh_affine_long(a, b, base_col=base)} % {_CMS_W}").alias(f"b{r}")
         for r, (a, b) in enumerate(_MH_AB[: _CMS_D])
     ]
 
@@ -5474,7 +5503,11 @@ def q74_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    bands2 = _minhash_bands(sh2)
+    # persist: _band_pairs references the band table from FOUR arms (stats,
+    # two capped-join sides, hub star) — unpersisted, each arm re-runs the
+    # shingle scan + minhash aggregation (measured 2.6s -> 0.9s for the
+    # candidate stage at sf0.1). Same discipline as the corpus _bands_table.
+    bands2 = _minhash_bands(sh2).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _band_pairs(bands2)
     sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -7118,10 +7151,16 @@ def q89_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
     )
-    dup_h = wins.groupBy("h").agg(F.count("*").alias("cnt")).filter(
-        F.col("cnt") >= 2
+    # duplicated-hash filter as ONE window over h instead of the old
+    # groupBy(h) + self-join back: identical row set (a window row count
+    # >= 2 is exactly membership in the HAVING-count>=2 hash set), but the
+    # explode+md5 subtree runs once, not once per join arm, and the h
+    # exchange is the only shuffle this step needs.
+    dup_wins = (
+        wins.withColumn("hcnt", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("hcnt") >= 2)
+        .select("doc_id", "i", "h")
     )
-    dup_wins = wins.join(dup_h.select("h"), "h")
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     spans = (
         dup_wins.withColumn("pi", F.lag("i").over(w_doc))

@@ -45,8 +45,8 @@ from pyspark.sql.types import LongType, StructField, StructType
 from img2table_spark.queries import (
     _BAND_ROWS,
     _MH_AB,
-    _MH_P,
     _N_HASHES,
+    _mh_affine_long,
 )
 
 DOC_STREAM_SCHEMA = "doc_id LONG, ts TIMESTAMP, text STRING"
@@ -67,11 +67,12 @@ def _with_bands(df: DataFrame) -> DataFrame:
     """(doc_id, ts, text) → exploded (doc_id, ts, band, sig) via the batch
     affine family, computed entirely per-row: array_min over the shingle
     transform — no explode-then-groupBy, no shuffle."""
-    base = "cast(conv(substring(md5(s), 1, 15), 16, 10) as decimal(20,0))"
+    # long-only affine chain shared with the batch index (bit-equal to the
+    # old decimal path — see queries._mh_affine_long and its pinned test)
+    base = "(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
     mins = [
         f"array_min(transform(shs, s -> "
-        f"cast(pmod(cast({a} as decimal(38,0)) * {base} + {b}, {_MH_P}) "
-        f"as bigint))) as m{k}"
+        f"{_mh_affine_long(a, b, base_col=base)})) as m{k}"
         for k, (a, b) in enumerate(_MH_AB)
     ]
     structs = ", ".join(
