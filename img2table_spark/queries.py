@@ -1320,7 +1320,12 @@ def _lp_labels(spark: SparkSession, sf_dir: str, *, reliable: bool = False) -> D
         return hit
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable else df.localCheckpoint()
+        # interactive path: LAZY localCheckpoint — the convergence count
+        # below is the round's one action and materializes it, so each LP
+        # round costs one job instead of two (eager-checkpoint + count).
+        # The reliable path keeps eager checkpoint(): its write-then-read
+        # semantics are part of the crash-resume contract.
+        return df.checkpoint() if reliable else df.localCheckpoint(eager=False)
 
     pairs = _ckpt(q08_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
     edges = _ckpt(
