@@ -500,16 +500,19 @@ _BAND_CAP = 64
 
 def _band_pairs(bands: DataFrame) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs from an LSH band index with the
-    oversized-bucket hub-star guard (see _BAND_CAP). All joins cluster on
-    (band, sig) — the bucket-stats agg, the anti/star probes and the
-    self-join reuse one partitioning; no new corpus-scale shuffle class.
-    The oversized-bucket table is tail-sized by construction (≤ rows/cap),
-    so AQE broadcasts it at any realistic scale."""
-    stats = bands.groupBy("band", "sig").agg(
-        F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
+    oversized-bucket hub-star guard (see _BAND_CAP). Bucket size and hub
+    arrive as ONE window over (band, sig) — identical sets to the old
+    stats-agg + anti-join + star-join arms (bsz ≤ cap ⟺ not in an
+    oversized bucket; the star rows are exactly the oversized-bucket
+    members above their hub) with fewer probe arms; the self-join reuses
+    the window's (band, sig) clustering, so no new shuffle class."""
+    w = Window.partitionBy("band", "sig")
+    annotated = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
+        "hub", F.min("doc_id").over(w)
     )
-    big = stats.filter(F.col("bsz") > _BAND_CAP).select("band", "sig", "hub")
-    small = bands.join(big.select("band", "sig"), ["band", "sig"], "left_anti")
+    small = annotated.filter(F.col("bsz") <= _BAND_CAP).select(
+        "band", "sig", "doc_id"
+    )
     all_pairs = (
         small.alias("a")
         .join(small.alias("b"), on=["band", "sig"])
@@ -517,8 +520,9 @@ def _band_pairs(bands: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     star = (
-        bands.join(big, ["band", "sig"])
-        .filter(F.col("doc_id") > F.col("hub"))
+        annotated.filter(
+            (F.col("bsz") > _BAND_CAP) & (F.col("doc_id") > F.col("hub"))
+        )
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return all_pairs.unionByName(star).distinct()
