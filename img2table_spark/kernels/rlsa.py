@@ -121,7 +121,15 @@ def adaptive_rlsa(cc: np.ndarray, cc_stats: np.ndarray, a: float, th: float, c: 
 
 def find_obstacles(img: np.ndarray, min_width: float) -> np.ndarray:
     """(reference: rlsa.py:117-156) — vertical gaps > h/5 spanning a
-    min_width-wide column window."""
+    min_width-wide column window.
+
+    Vectorized (r6): the per-column walk marks an off-cell r of window
+    column c0 iff the surrounding on-rows (prev < r < next) satisfy
+    next − prev − 1 > H/5, or — when no on-row follows — the reference's
+    ending-check quirk H − 1 − prev > H/5 (which then also covers row
+    H−1 itself). prev/next arrive as row-axis accumulates; the fill of
+    cols [c0, c0+mw) is a left-anchored binary dilation. Differential-
+    pinned against the sequential walk in tests/test_rlsa_vectorized.py."""
     mask = np.zeros(img.shape, dtype=bool)
     mw = int(np.ceil(min_width))
     H, W = img.shape
@@ -131,17 +139,24 @@ def find_obstacles(img: np.ndarray, min_width: float) -> np.ndarray:
     sw = np.lib.stride_tricks.sliding_window_view(img, mw, axis=1)
     win_any = (sw.max(axis=2) > 0)  # (H, W-mw+1)
 
-    for col in range(W - mw):
-        rows_on = np.nonzero(win_any[:, col])[0]
-        prev = -1
-        for row in rows_on.tolist():
-            if row - prev - 1 > H / 5:
-                mask[prev + 1 : row, col : col + mw] = True
-            prev = row
-        # ending check uses the final loop row = H-1 (reference quirk)
-        row = H - 1
-        if row + 1 - prev - 1 > H / 5:
-            mask[prev + 1 : row + 1, col : col + mw] = True
+    on = win_any[:, : W - mw]
+    ridx = np.arange(H, dtype=np.int64)[:, None]
+    prev_on = np.maximum.accumulate(np.where(on, ridx, -1), axis=0)
+    next_on = np.minimum.accumulate(np.where(on, ridx, H)[::-1], axis=0)[::-1]
+    thresh = H / 5
+    g = ~on & np.where(
+        next_on < H,
+        next_on - prev_on - 1 > thresh,
+        H - 1 - prev_on > thresh,
+    )
+    if g.any():
+        from img2table_spark.kernels.imageops import _binary_window_1d
+
+        wc = g.shape[1]
+        g_pad = np.zeros((H, wc + mw - 1), dtype=np.uint8)
+        g_pad[:, :wc] = g
+        dil = _binary_window_1d(g_pad, -(mw - 1), 0, axis=1, dilate=True)
+        mask[:, : wc + mw - 1] = dil > 0
     return mask
 
 

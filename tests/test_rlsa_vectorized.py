@@ -81,6 +81,42 @@ def test_adaptive_rlsa_matches_sequential():
         assert np.array_equal(got, want), trial
 
 
+def _sequential_obstacles(img, min_width):
+    mask = np.zeros(img.shape, dtype=bool)
+    mw = int(np.ceil(min_width))
+    H, W = img.shape
+    if W - mw <= 0 or H == 0:
+        return mask
+    sw = np.lib.stride_tricks.sliding_window_view(img, mw, axis=1)
+    win_any = (sw.max(axis=2) > 0)
+    for col in range(W - mw):
+        rows_on = np.nonzero(win_any[:, col])[0]
+        prev = -1
+        for row in rows_on.tolist():
+            if row - prev - 1 > H / 5:
+                mask[prev + 1 : row, col : col + mw] = True
+            prev = row
+        row = H - 1
+        if row + 1 - prev - 1 > H / 5:
+            mask[prev + 1 : row + 1, col : col + mw] = True
+    return mask
+
+
+def test_find_obstacles_matches_sequential():
+    from img2table_spark.kernels.rlsa import find_obstacles
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        H = int(rng.integers(3, 40))
+        W = int(rng.integers(3, 50))
+        density = rng.choice([0.0, 0.02, 0.1, 0.5])
+        img = (rng.random((H, W)) < density).astype(np.uint8) * 255
+        mwf = float(rng.choice([1.0, 2.3, 4.0, 7.5]))
+        got = find_obstacles(img, mwf)
+        want = _sequential_obstacles(img, mwf)
+        assert np.array_equal(got, want), (trial, H, W, mwf, density)
+
+
 def test_adaptive_rlsa_empty_and_single():
     cc = np.zeros((5, 5), dtype=np.int32)
     stats = np.zeros((1, 5), dtype=np.int64)
