@@ -400,22 +400,27 @@ def _shingles(
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= width
     )
+    # Every shingle of a doc originates from that doc's single source row,
+    # so the global DISTINCT over (doc_id, s) is exactly a per-row
+    # array_distinct BEFORE the explode — dedup happens map-side with zero
+    # aggregation, and the one exchange below is free to carry the
+    # partitioning the consumers actually need: hashpartitioning(doc_id)
+    # serves the band min-agg, q08's sizes agg and semi-join probe;
+    # hashpartitioning(s) serves q17's DF-cap window + self-join. The old
+    # distinct's hashpartitioning(doc_id, s) satisfied neither, so every
+    # consumer paid a fresh exchange over the widest table in the family.
     exploded = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {width}),"
-                f" i -> array_join(slice(t, i + 1, {width}), ' '))"
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {width}),"
+                    f" i -> array_join(slice(t, i + 1, {width}), ' '))"
+                )
             )
         ).alias("s"),
     )
-    if cluster_by_s:
-        # One exchange on s serves the whole downstream chain: distinct needs
-        # ClusteredDistribution(doc_id, s), which hashpartitioning(s) already
-        # satisfies (equal rows co-locate), and the DF window / self-join in
-        # q17 both cluster on s — so they all reuse this single shuffle.
-        exploded = exploded.repartition("s")
-    return exploded.distinct()
+    return exploded.repartition("s" if cluster_by_s else "doc_id")
 
 
 _BANDS_MEMO: dict = {}
