@@ -505,32 +505,34 @@ _BAND_CAP = 64
 
 def _band_pairs(bands: DataFrame) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs from an LSH band index with the
-    oversized-bucket hub-star guard (see _BAND_CAP). Bucket size and hub
-    arrive as ONE window over (band, sig) — identical sets to the old
-    stats-agg + anti-join + star-join arms (bsz ≤ cap ⟺ not in an
-    oversized bucket; the star rows are exactly the oversized-bucket
-    members above their hub) with fewer probe arms; the self-join reuses
-    the window's (band, sig) clustering, so no new shuffle class."""
-    w = Window.partitionBy("band", "sig")
-    annotated = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
-        "hub", F.min("doc_id").over(w)
-    )
-    small = annotated.filter(F.col("bsz") <= _BAND_CAP).select(
-        "band", "sig", "doc_id"
-    )
-    all_pairs = (
-        small.alias("a")
-        .join(small.alias("b"), on=["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    star = (
-        annotated.filter(
-            (F.col("bsz") > _BAND_CAP) & (F.col("doc_id") > F.col("hub"))
-        )
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    return all_pairs.unionByName(star).distinct()
+    oversized-bucket hub-star guard (see _BAND_CAP). Each bucket's members
+    arrive as ONE collect_list aggregation and the pairs are expanded
+    in-codegen: capped buckets emit every a < b combination (identical to
+    the old windowed self-join — ≤ cap²/2 structs per bucket), oversized
+    buckets emit the hub star (every member above the bucket's min
+    doc_id). One exchange for the agg, one for the final distinct — the
+    old shape paid the window sort plus a (band, sig) self-join on top.
+    Pair sets are order-independent, so collect_list's nondeterministic
+    ordering cannot change the result."""
+    g = bands.groupBy("band", "sig").agg(F.collect_list("doc_id").alias("ds"))
+    pairs = g.select(
+        F.explode(
+            F.when(
+                F.size("ds") <= _BAND_CAP,
+                F.expr(
+                    "flatten(transform(ds, x ->"
+                    " transform(filter(ds, y -> y > x),"
+                    " y -> named_struct('doc_a', x, 'doc_b', y))))"
+                ),
+            ).otherwise(
+                F.expr(
+                    "transform(filter(ds, y -> y > array_min(ds)),"
+                    " y -> named_struct('doc_a', array_min(ds), 'doc_b', y))"
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
 
 
 def _pairs_sql_cte(
