@@ -104,6 +104,169 @@ def _make_batch_extract(emit_errors: bool = False):
     return _batch_extract
 
 
+def _make_batch_extract_arrow(emit_errors: bool = False):
+    """Arrow-native batch extractor (mapInArrow): identical row semantics to
+    _make_batch_extract, but the output batch is assembled as flat Python
+    lists converted once per batch into Arrow arrays (offsets + struct
+    children for ``cells``). The pandas path paid a per-cell dict build plus
+    pandas→Arrow conversion of the nested column — measured ~35% of the
+    per-turn cost at full throughput (guide §4.2: construct Arrow arrays
+    directly instead of row-by-row objects)."""
+    import pyarrow as pa
+
+    cell_t = pa.struct(
+        [
+            pa.field("row", pa.int32(), nullable=False),
+            pa.field("col", pa.int32(), nullable=False),
+            pa.field("x1", pa.int32()),
+            pa.field("y1", pa.int32()),
+            pa.field("x2", pa.int32()),
+            pa.field("y2", pa.int32()),
+            pa.field("value", pa.string()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string(), nullable=False),
+            pa.field("turn_idx", pa.int32(), nullable=False),
+            pa.field("table_idx", pa.int32(), nullable=False),
+            pa.field("x1", pa.int32()),
+            pa.field("y1", pa.int32()),
+            pa.field("x2", pa.int32()),
+            pa.field("y2", pa.int32()),
+            pa.field("title", pa.string()),
+            pa.field("cells", pa.list_(cell_t)),
+            pa.field("html", pa.string()),
+            pa.field("n_rows", pa.int32()),
+            pa.field("n_cols", pa.int32()),
+        ]
+    )
+
+    def _batch_extract(batches):
+        for b in batches:
+            names = b.schema.names
+            conv_in = b.column(names.index("conv_id")).to_pylist()
+            turn_in = b.column(names.index("turn_idx")).to_pylist()
+            text_in = b.column(names.index("text")).to_pylist()
+            tool_in = b.column(names.index("tool")).to_pylist()
+            conv: list = []
+            turn: list = []
+            tidx: list = []
+            bx1: list = []
+            by1: list = []
+            bx2: list = []
+            by2: list = []
+            titles: list = []
+            htmls: list = []
+            nrows: list = []
+            ncols: list = []
+            offsets: list = [0]
+            c_row: list = []
+            c_col: list = []
+            c_x1: list = []
+            c_y1: list = []
+            c_x2: list = []
+            c_y2: list = []
+            c_val: list = []
+            for conv_id, turn_idx, text, tool in zip(
+                conv_in, turn_in, text_in, tool_in
+            ):
+                try:
+                    tables = [
+                        t for t in extract_payload(text, tool) if is_relevant_table(t)
+                    ]
+                except Exception as exc:
+                    if emit_errors:
+                        conv.append(conv_id)
+                        turn.append(turn_idx)
+                        tidx.append(-1)
+                        bx1.append(None)
+                        by1.append(None)
+                        bx2.append(None)
+                        by2.append(None)
+                        titles.append(repr(exc)[:200])
+                        htmls.append(None)
+                        nrows.append(0)
+                        ncols.append(0)
+                        offsets.append(offsets[-1])
+                    continue
+                for i, t in enumerate(tables):
+                    # inlined table_to_record, appending straight into the
+                    # column builders (same values, no per-cell dicts)
+                    x1 = y1 = x2 = y2 = None
+                    n_cells = 0
+                    for r, row in enumerate(t.rows):
+                        for c, cell in enumerate(row):
+                            cx1, cy1, cx2, cy2 = cell.x1, cell.y1, cell.x2, cell.y2
+                            c_row.append(r)
+                            c_col.append(c)
+                            c_x1.append(cx1)
+                            c_y1.append(cy1)
+                            c_x2.append(cx2)
+                            c_y2.append(cy2)
+                            c_val.append(cell.content)
+                            n_cells += 1
+                            if x1 is None:
+                                x1, y1, x2, y2 = cx1, cy1, cx2, cy2
+                            else:
+                                if cx1 < x1:
+                                    x1 = cx1
+                                if cy1 < y1:
+                                    y1 = cy1
+                                if cx2 > x2:
+                                    x2 = cx2
+                                if cy2 > y2:
+                                    y2 = cy2
+                    if t.rows and n_cells == 0:  # rows of zero width
+                        raise ValueError("min() arg is an empty sequence")
+                    conv.append(conv_id)
+                    turn.append(turn_idx)
+                    tidx.append(i)
+                    bx1.append(x1)
+                    by1.append(y1)
+                    bx2.append(x2)
+                    by2.append(y2)
+                    titles.append(t.title)
+                    htmls.append(table_to_html(t))
+                    nrows.append(t.nb_rows)
+                    ncols.append(t.nb_columns)
+                    offsets.append(offsets[-1] + n_cells)
+            cells_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(c_row, pa.int32()),
+                        pa.array(c_col, pa.int32()),
+                        pa.array(c_x1, pa.int32()),
+                        pa.array(c_y1, pa.int32()),
+                        pa.array(c_x2, pa.int32()),
+                        pa.array(c_y2, pa.int32()),
+                        pa.array(c_val, pa.string()),
+                    ],
+                    fields=list(cell_t),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(conv, pa.string()),
+                    pa.array(turn, pa.int32()),
+                    pa.array(tidx, pa.int32()),
+                    pa.array(bx1, pa.int32()),
+                    pa.array(by1, pa.int32()),
+                    pa.array(bx2, pa.int32()),
+                    pa.array(by2, pa.int32()),
+                    pa.array(titles, pa.string()),
+                    cells_arr,
+                    pa.array(htmls, pa.string()),
+                    pa.array(nrows, pa.int32()),
+                    pa.array(ncols, pa.int32()),
+                ],
+                schema=out_schema,
+            )
+
+    return _batch_extract
+
+
 def with_salt(df: DataFrame, turn_bucket: int = 8) -> "F.Column":
     """Skew-defusing salt: hash(conv_id, turn_idx // turn_bucket) so a single
     heavy conversation spreads over many partitions (north_rule)."""
@@ -144,7 +307,7 @@ def extract_tables(
             slim = slim.repartition(num_partitions)
         else:
             slim = slim.repartition(num_partitions, with_salt(slim, turn_bucket))
-    return slim.mapInPandas(_make_batch_extract(emit_errors), EXTRACTED_SCHEMA)
+    return slim.mapInArrow(_make_batch_extract_arrow(emit_errors), EXTRACTED_SCHEMA)
 
 
 def extract_cells_flat(df: DataFrame, **kwargs) -> DataFrame:

@@ -93,7 +93,7 @@ def test_extract_plan_shape(spark, golden):
     df, _ = golden
     plan = extract_tables(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_pipeline_mixed_payloads(spark, ref_tests, tmp_path):
