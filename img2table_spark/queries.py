@@ -1477,6 +1477,12 @@ def _capped_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _capped_shingles_table(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # NOTE (r6): the _band_pairs collect_list expansion was tried here and
+    # REVERTED — at sf1 the capped posting lists sit near _DF_CAP and the
+    # per-element lambda filter does O(B²) comparisons per shingle (23.7 s
+    # vs 10.4 s for the SMJ); the self-join's sorted-run scan is the right
+    # shape once B is large. Both arms ride the cached table's
+    # hashpartitioning(s), so the join adds no exchange.
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
